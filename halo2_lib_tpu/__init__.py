@@ -1,0 +1,22 @@
+"""halo2_lib_tpu — a TPU-native halo2 (PlonKish/KZG) proving library in JAX/Pallas.
+
+Brand-new implementation with the capabilities of axiom-crypto/halo2-lib
+(reference layout documented in SURVEY.md). The library has three tiers:
+
+1. ``core`` / ``gates`` / ``circuit``: the vertical-gate eDSL — virtual Contexts,
+   GateChip/RangeChip op library, lookup + copy-constraint managers, circuit
+   auto-configuration. Witness generation is exact big-int arithmetic on host;
+   flattening produces dense tensors.
+2. ``ops`` / ``backend``: the proving backend — limb-packed Montgomery field
+   kernels (JAX/XLA, batch-vectorized for TPU VPU/MXU), radix-2 NTT, Pippenger
+   MSM, KZG commitment + SHPLONK opening, Blake2b transcript, and a device
+   MockProver (gate stencil + permutation + lookup checks as tensor programs).
+3. ``bigint`` / ``fields`` / ``ecc`` / ``poseidon`` / ``safe_types``: the gadget
+   stack — CRT-limb non-native arithmetic, emulated Fp/Fp2/Fp12, EC ops, MSM
+   gadgets, ECDSA, BN254 pairing, Poseidon, SafeTypes.
+
+Reference parity notes cite files as ``halo2-base/src/...:line`` meaning the
+same-named path in the upstream Rust repo.
+"""
+
+__version__ = "0.1.0"

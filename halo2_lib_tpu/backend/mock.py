@@ -1,0 +1,134 @@
+"""MockProver: evaluate every constraint of a PhysicalCircuit directly.
+
+Host reference implementation (exact big-int) of the halo2 `MockProver`:
+- the vertical gate stencil q[i] * (A[i] + A[i+1]*A[i+2] - A[i+3]) == 0
+- permutation (copy) constraints by value
+- range-lookup membership in [0, 2^lookup_bits)
+- instance column consistency
+
+A device (JAX) version of the gate stencil lives in
+``halo2_lib_tpu.ops.stencil`` and is used for large circuits; this module is
+the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from ..gates.circuit import BaseCircuitBuilder, PhysicalCircuit
+
+
+class VerifyFailure(Exception):
+    pass
+
+
+class MockProver:
+    def __init__(self, circuit: PhysicalCircuit, instances: list[list[int]] | None):
+        self.circuit = circuit
+        self.provided_instances = instances
+
+    @staticmethod
+    def run(
+        k: int, builder: BaseCircuitBuilder, instances: list[list[int]] | None = None
+    ) -> "MockProver":
+        assert builder.config_params.k == k, "k mismatch"
+        circuit = builder.synthesize()
+        return MockProver(circuit, instances)
+
+    # --- checks -----------------------------------------------------------
+    def verify(self) -> list[str]:
+        c = self.circuit
+        F = c.field
+        p = F.p
+        errors: list[str] = []
+        n = c.num_rows()
+
+        # 1. vertical gate: q * (a + b*c - d) == 0
+        for phase_idx, fp in enumerate(c.phases):
+            for col_idx, (vals, sels) in enumerate(zip(fp.columns, fp.selectors)):
+                L = len(vals)
+                for r, q in enumerate(sels):
+                    if not q:
+                        continue
+                    a = vals[r]
+                    b = vals[r + 1] if r + 1 < L else 0
+                    cc = vals[r + 2] if r + 2 < L else 0
+                    d = vals[r + 3] if r + 3 < L else 0
+                    if (a + b * cc - d) % p != 0:
+                        errors.append(
+                            f"gate failure at phase {phase_idx} column {col_idx} row {r}: "
+                            f"{a} + {b}*{cc} != {d}"
+                        )
+                        if len(errors) > 16:
+                            return errors
+
+        # 2. copy constraints by value
+        def cell_value(cell) -> int:
+            kind, phase, col, row = cell
+            if kind == "advice":
+                colvals = c.phases[phase].columns[col]
+                return colvals[row] if row < len(colvals) else 0
+            if kind == "lookup":
+                colvals = c.lookup_cols[phase][col]
+                return colvals[row] if row < len(colvals) else 0
+            if kind == "fixed":
+                colvals = c.fixed_cols[col]
+                return colvals[row] if row < len(colvals) else 0
+            if kind == "instance":
+                inst = (
+                    self.provided_instances[col]
+                    if self.provided_instances is not None
+                    else c.instances[col]
+                )
+                return inst[row] if row < len(inst) else 0
+            raise ValueError(kind)
+
+        for left, right in c.copies:
+            lv, rv = cell_value(left), cell_value(right)
+            if lv % p != rv % p:
+                errors.append(f"copy constraint failure: {left}={lv} != {right}={rv}")
+                if len(errors) > 16:
+                    return errors
+
+        # 3. range lookups
+        lb = c.params.lookup_bits
+        if lb is not None:
+            bound = 1 << lb
+            for phase_idx, cols in enumerate(c.lookup_cols):
+                for col_idx, vals in enumerate(cols):
+                    for r, v in enumerate(vals):
+                        if not (0 <= v < bound):
+                            errors.append(
+                                f"lookup failure phase {phase_idx} lookup col {col_idx} "
+                                f"row {r}: {v} not in [0, 2^{lb})"
+                            )
+                            if len(errors) > 16:
+                                return errors
+            for phase_idx, rows in enumerate(c.q_lookup_rows):
+                if not rows:
+                    continue
+                col0 = c.phases[phase_idx].columns[0]
+                for r in rows:
+                    v = col0[r] if r < len(col0) else 0
+                    if not (0 <= v < bound):
+                        errors.append(
+                            f"q_lookup failure phase {phase_idx} row {r}: {v} not in [0, 2^{lb})"
+                        )
+
+        # 4. instance values match provided
+        if self.provided_instances is not None:
+            for i, (exp, got) in enumerate(zip(c.instances, self.provided_instances)):
+                if [v % p for v in exp] != [v % p for v in got]:
+                    errors.append(f"instance column {i} mismatch")
+
+        # 5. usable-rows bound
+        for phase_idx, fp in enumerate(c.phases):
+            for col_idx, vals in enumerate(fp.columns):
+                if len(vals) > n:
+                    errors.append(
+                        f"column overflow: phase {phase_idx} col {col_idx} has {len(vals)} > {n} rows"
+                    )
+        return errors
+
+    def assert_satisfied(self) -> None:
+        errors = self.verify()
+        if errors:
+            raise VerifyFailure("\n".join(errors[:16]))

@@ -1,0 +1,267 @@
+"""Thread managers: virtual columns → physical column tensors.
+
+Mirrors halo2-base/src/gates/flex_gate/threads/: `SinglePhaseCoreManager`
+(owns the virtual Contexts of one challenge phase and flattens them into
+physical columns with break points), `MultiPhaseCoreManager`, and
+`parallelize_core`.
+
+The TPU twist: `flatten` produces dense per-column value/selector arrays — a
+tensor-ready layout the device MockProver and prover consume directly. Witness
+generation itself stays exact host big-int; the flatten step batch-inverts all
+deferred `Rational` fractions at once (halo2's `Assigned` batch inversion).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from ..core.cells import Rational
+from ..core.context import Context
+from ..core.copy_constraints import CopyConstraintManager
+
+GATE_ROTATIONS = 4  # the vertical gate reads rotations 0..=3
+
+_PHASE_TYPE_IDS = (
+    "halo2-base:SinglePhaseCoreManager:FirstPhase",
+    "halo2-base:SinglePhaseCoreManager:SecondPhase",
+    "halo2-base:SinglePhaseCoreManager:ThirdPhase",
+)
+
+
+def batch_evaluate(values: list, field) -> list[int]:
+    """Resolve Assigned entries (ints or Rationals) with one batch inversion.
+
+    Montgomery's trick: invert the product of all denominators once, then
+    unroll — same optimization halo2 applies to `Assigned` columns.
+    """
+    p = field.p
+    fracs = [(i, v) for i, v in enumerate(values) if type(v) is Rational]
+    out = [v if type(v) is int else 0 for v in values]
+    if not fracs:
+        return out
+    dens = [v.den % p for _, v in fracs]
+    # prefix products
+    prefix = [1] * (len(dens) + 1)
+    for i, d in enumerate(dens):
+        prefix[i + 1] = prefix[i] * d % p
+    inv_all = field.inv(prefix[-1])
+    for i in range(len(dens) - 1, -1, -1):
+        inv_i = prefix[i] * inv_all % p
+        inv_all = inv_all * dens[i] % p
+        idx, frac = fracs[i]
+        out[idx] = frac.num % p * inv_i % p
+    return out
+
+
+@dataclass
+class FlattenedPhase:
+    """Physical assignment of one phase: dense columns + selectors + break points."""
+
+    columns: list[list[int]] = dc_field(default_factory=list)  # values per column
+    selectors: list[list[bool]] = dc_field(default_factory=list)
+    break_points: list[int] = dc_field(default_factory=list)
+    # equality constraints between physical cells introduced by column breaks
+    physical_equalities: list[tuple[tuple[int, int], tuple[int, int]]] = dc_field(
+        default_factory=list
+    )
+
+
+class SinglePhaseCoreManager:
+    """Manager for the virtual Contexts of one challenge phase (single_phase.rs)."""
+
+    def __init__(self, witness_gen_only: bool, copy_manager: CopyConstraintManager, field, phase: int = 0):
+        self.threads: list[Context] = []
+        self.copy_manager = copy_manager
+        self.witness_gen_only = witness_gen_only
+        self.use_unknown = False
+        self.phase = phase
+        self.field = field
+        self.break_points: list[int] | None = None
+
+    def type_of(self) -> str:
+        return _PHASE_TYPE_IDS[self.phase]
+
+    def main(self) -> Context:
+        if not self.threads:
+            return self.new_thread()
+        return self.threads[-1]
+
+    def thread_count(self) -> int:
+        return len(self.threads)
+
+    def new_context(self, context_id: int) -> Context:
+        return Context(
+            self.witness_gen_only, self.phase, self.type_of(), context_id, self.copy_manager, self.field
+        )
+
+    def new_thread(self) -> Context:
+        ctx = self.new_context(self.thread_count())
+        self.threads.append(ctx)
+        return ctx
+
+    def total_advice(self) -> int:
+        return sum(len(ctx.advice) for ctx in self.threads)
+
+    def clear(self) -> None:
+        self.threads = []
+        self.copy_manager.clear()
+
+    # --- flattening ---------------------------------------------------------
+    def flatten_with_constraints(self, num_columns: int, max_rows: int) -> FlattenedPhase:
+        """Stream all Contexts into physical columns, computing break points.
+
+        Port of `assign_with_constraints::<F, 4>` (single_phase.rs:193-263):
+        cells go top-to-bottom then left-to-right; when a live gate would cross
+        `max_rows` (or we hit the second-to-last usable row) we break to the
+        next column and duplicate the boundary cell with an equality constraint.
+        Also records every virtual cell's physical location in the copy manager.
+        """
+        out = FlattenedPhase()
+        assigned = self.copy_manager.assigned_advices
+        from ..core.cells import ContextCell
+
+        gate_index = -1
+        col_vals: list[int] = []
+        col_sel: list[bool] = []
+
+        def new_column():
+            nonlocal gate_index, col_vals, col_sel
+            gate_index += 1
+            if gate_index >= num_columns:
+                raise ValueError(
+                    f"NOT ENOUGH ADVICE COLUMNS ({num_columns}); max usable rows {max_rows}"
+                )
+            col_vals = []
+            col_sel = []
+            out.columns.append(col_vals)
+            out.selectors.append(col_sel)
+
+        new_column()
+        row_offset = 0
+        for ctx in self.threads:
+            if not ctx.advice:
+                continue
+            assert len(ctx.selector) == len(ctx.advice)
+            values = batch_evaluate(ctx.advice, self.field)
+            tid, cid = ctx.type_id, ctx.context_id
+            for i, (value, q) in enumerate(zip(values, ctx.selector)):
+                col_vals.append(value)
+                col_sel.append(q)
+                cell = (gate_index, row_offset)
+                key = ContextCell(tid, cid, i)
+                old = assigned.get(key)
+                if old is not None:
+                    assert old == cell, "virtual cell assigned to two raw cells"
+                else:
+                    assigned[key] = cell
+
+                if (q and row_offset + GATE_ROTATIONS > max_rows) or row_offset >= max_rows - 1:
+                    out.break_points.append(row_offset)
+                    # sanity: no overlapping gate within the last ROTATIONS-1 rows
+                    if i + 2 >= GATE_ROTATIONS:
+                        for delta in range(1, GATE_ROTATIONS - 1):
+                            assert not ctx.selector[i - delta], (
+                                f"unsupported gate overlap at column break (delta={delta})"
+                            )
+                    row_offset = 0
+                    # the selector for this gate moves to row 0 of the NEW column
+                    col_sel[-1] = False
+                    new_column()
+                    col_vals.append(value)
+                    col_sel.append(q)
+                    out.physical_equalities.append((cell, (gate_index, 0)))
+                else:
+                    # selector stays where it is
+                    pass
+                row_offset += 1
+        if self.break_points is not None:
+            assert self.break_points == out.break_points, "break points don't match"
+        else:
+            self.break_points = out.break_points
+        return out
+
+    def flatten_witnesses(self, num_columns: int, break_points: list[int]) -> FlattenedPhase:
+        """Prover path: replay a pinned break-point schedule (single_phase.rs:273-312)."""
+        out = FlattenedPhase(break_points=list(break_points))
+        if num_columns == 0:
+            assert self.total_advice() == 0, "phase has advice but no columns"
+            return out
+        bps = iter(break_points)
+        bp = next(bps, None)
+        col_vals: list[int] = []
+        out.columns.append(col_vals)
+        row_offset = 0
+        for ctx in self.threads:
+            values = batch_evaluate(ctx.advice, self.field)
+            for value in values:
+                col_vals.append(value)
+                if bp == row_offset:
+                    bp = next(bps, None)
+                    row_offset = 0
+                    col_vals = []
+                    out.columns.append(col_vals)
+                    col_vals.append(value)
+                row_offset += 1
+        return out
+
+
+class MultiPhaseCoreManager:
+    """One SinglePhaseCoreManager per challenge phase (multi_phase.rs)."""
+
+    def __init__(self, witness_gen_only: bool, field):
+        self.copy_manager = CopyConstraintManager()
+        self.field = field
+        self.witness_gen_only = witness_gen_only
+        self.use_unknown = False
+        self.phase_manager = [SinglePhaseCoreManager(witness_gen_only, self.copy_manager, field, 0)]
+
+    def main(self, phase: int) -> Context:
+        self.touch(phase)
+        return self.phase_manager[phase].main()
+
+    def new_thread(self, phase: int) -> Context:
+        self.touch(phase)
+        return self.phase_manager[phase].new_thread()
+
+    def in_phase(self, phase: int) -> SinglePhaseCoreManager:
+        return self.phase_manager[phase]
+
+    def touch(self, phase: int) -> None:
+        while len(self.phase_manager) <= phase:
+            pm = SinglePhaseCoreManager(
+                self.witness_gen_only, self.copy_manager, self.field, len(self.phase_manager)
+            )
+            self.phase_manager.append(pm)
+
+    def clear(self) -> None:
+        for pm in self.phase_manager:
+            pm.clear()
+        self.copy_manager.clear()
+
+    def statistics(self):
+        total_advice_per_phase = [pm.total_advice() for pm in self.phase_manager]
+        total_fixed = self.copy_manager.num_distinct_constants()
+        return total_advice_per_phase, total_fixed
+
+    def calculate_params(self, k: int, minimum_rows: int | None = None):
+        """ceil(total cells / usable rows) columns per phase (multi_phase.rs:443-465)."""
+        max_rows = (1 << k) - (minimum_rows or 0)
+        total_advice_per_phase, total_fixed = self.statistics()
+        num_advice_per_phase = [-(-c // max_rows) for c in total_advice_per_phase]
+        num_fixed = (total_fixed + (1 << k) - 1) >> k
+        return {"k": k, "num_advice_per_phase": num_advice_per_phase, "num_fixed": num_fixed}
+
+
+def parallelize_core(builder: SinglePhaseCoreManager, inputs: list, f) -> list:
+    """Run `f(ctx, input)` on a fresh Context per input, appended in fixed order.
+
+    Port of threads/parallelize.rs:8-29. The reference uses rayon; here inputs
+    are processed in deterministic order (the circuit layout is identical either
+    way — that's the whole point of the pre-allocated context ids). Heavy data
+    parallelism in this library lives on the TPU device side instead.
+    """
+    thread_count = builder.thread_count()
+    ctxs = [builder.new_context(thread_count + i) for i in range(len(inputs))]
+    outputs = [f(ctx, inp) for ctx, inp in zip(ctxs, inputs)]
+    builder.threads.extend(ctxs)
+    return outputs
