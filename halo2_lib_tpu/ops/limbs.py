@@ -1,0 +1,287 @@
+"""Device field arithmetic: 256-bit modular math on 16x16-bit limb tensors.
+
+TPU-first design (see /opt/skills/guides/pallas_guide.md): the TPU has no
+64-bit integer units, so field elements are packed as 16 little-endian 16-bit
+limbs stored in ``uint32`` lanes. A 16x16-bit product fits exactly in uint32,
+and column-accumulated schoolbook multiplication keeps every intermediate sum
+below 2^23 — no 64-bit carries anywhere. Montgomery reduction (R = 2^256) is
+interleaved column-wise so the whole modmul is ~110 vector ops over the batch
+dimension, which XLA fuses into a handful of VPU kernels.
+
+Everything here is shape-polymorphic over leading batch dims and jit/vmap/
+shard_map friendly: no data-dependent control flow, static shapes only.
+
+Replaces the role of `halo2curves-axiom` field arithmetic in the reference
+backend (SURVEY.md §2.9); the host-exact twin is utils.fields.PrimeField.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.fields import PrimeField
+
+LIMB_BITS = 16
+N_LIMBS = 16  # 256 bits
+MASK = (1 << LIMB_BITS) - 1
+
+
+def _int_to_limbs(x: int, n: int = N_LIMBS) -> np.ndarray:
+    return np.array([(x >> (LIMB_BITS * i)) & MASK for i in range(n)], dtype=np.uint32)
+
+
+def _limbs_to_int(a) -> int:
+    out = 0
+    for i, v in enumerate(np.asarray(a, dtype=np.uint64)):
+        out |= int(v) << (LIMB_BITS * i)
+    return out
+
+
+class DeviceField:
+    """Batched modular arithmetic for one prime field on device.
+
+    Elements are ``uint32[..., 16]`` tensors. Unless stated otherwise, inputs
+    and outputs are in Montgomery form (x * 2^256 mod p) — the form used by
+    every kernel (NTT, MSM, stencil) to avoid per-op conversions.
+    """
+
+    def __init__(self, field: PrimeField):
+        assert field.num_bits <= 256
+        self.field = field
+        p = field.p
+        self.p_int = p
+        self.P = _int_to_limbs(p)
+        # n0 = -p^{-1} mod 2^16 (Montgomery magic constant)
+        self.n0 = np.uint32((-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        self.R = (1 << 256) % p
+        self.R2 = _int_to_limbs((self.R * self.R) % p)
+        self.ONE_MONT = _int_to_limbs(self.R)  # 1 in Montgomery form
+        self.ZERO = np.zeros(N_LIMBS, dtype=np.uint32)
+        # p as 17 limbs for the conditional subtract after add/reduce
+        self.P17 = _int_to_limbs(p, N_LIMBS + 1)
+        # jitted entry points (shape-cached); implementations are the _-methods
+        self.add = jax.jit(self._add)
+        self.sub = jax.jit(self._sub)
+        self.neg = jax.jit(self._neg)
+        self.double = jax.jit(self._double)
+        self.mont_mul = jax.jit(self._mont_mul)
+        self.square = jax.jit(self._square)
+        self.to_mont = jax.jit(self._to_mont)
+        self.from_mont = jax.jit(self._from_mont)
+        self.inv = jax.jit(self._inv)
+        self.batch_inv = jax.jit(self._batch_inv)
+        self._pow_cache: dict[int, object] = {}
+
+    # --- host <-> device packing (canonical ints <-> Montgomery limbs) -----
+    def pack(self, values, mont: bool = True) -> jax.Array:
+        """Pack python ints (canonical) into limb tensors, optionally Montgomery."""
+        if isinstance(values, int):
+            values = [values]
+            squeeze = True
+        else:
+            squeeze = False
+        p = self.p_int
+        arr = np.zeros((len(values), N_LIMBS), dtype=np.uint32)
+        for i, v in enumerate(values):
+            v = v % p
+            if mont:
+                v = (v << 256) % p
+            arr[i] = _int_to_limbs(v)
+        out = jnp.asarray(arr)
+        return out[0] if squeeze else out
+
+    def unpack(self, arr, mont: bool = True) -> list[int]:
+        """Unpack limb tensors back to canonical python ints."""
+        a = np.asarray(jax.device_get(arr))
+        flat = a.reshape(-1, N_LIMBS)
+        rinv = pow(1 << 256, -1, self.p_int) if mont else 1
+        out = [(_limbs_to_int(row) * rinv) % self.p_int for row in flat]
+        return out
+
+    # --- carry helpers -------------------------------------------------------
+    @staticmethod
+    def _carry(cols: jax.Array, out_limbs: int) -> jax.Array:
+        """Ripple-carry normalize `cols` (any <=32-bit entries) into 16-bit limbs."""
+        outs = []
+        carry = jnp.zeros_like(cols[..., 0])
+        for j in range(cols.shape[-1]):
+            v = cols[..., j] + carry
+            outs.append(v & MASK)
+            carry = v >> LIMB_BITS
+        while len(outs) < out_limbs:
+            outs.append(carry & MASK)
+            carry = carry >> LIMB_BITS
+        return jnp.stack(outs[:out_limbs], axis=-1)
+
+    def _cond_sub_p(self, t: jax.Array) -> jax.Array:
+        """t (17 normalized limbs, value < 2p) -> t mod p as 16 limbs."""
+        # subtract with borrow
+        p17 = jnp.asarray(self.P17)
+        diff = []
+        borrow = jnp.zeros_like(t[..., 0])
+        for j in range(N_LIMBS + 1):
+            d = t[..., j] - p17[j] - borrow
+            diff.append(d & MASK)
+            borrow = (d >> 31) & 1  # d went negative iff top bit set (values < 2^17)
+        ge = borrow == 0  # t >= p
+        out = []
+        for j in range(N_LIMBS):
+            out.append(jnp.where(ge, diff[j], t[..., j]))
+        return jnp.stack(out, axis=-1)
+
+    # --- ring ops (Montgomery-form in, Montgomery-form out) -------------------
+    def _add(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        s = self._carry(a + b, N_LIMBS + 1)
+        return self._cond_sub_p(s)
+
+    def _sub(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        # borrow-chain subtract, then add p back where a < b
+        P = jnp.asarray(self.P)
+        diff = []
+        borrow = jnp.zeros_like(a[..., 0])
+        for j in range(N_LIMBS):
+            d = a[..., j] - b[..., j] - borrow
+            diff.append(d & MASK)
+            borrow = (d >> 31) & 1
+        underflow = borrow == 1
+        out = []
+        carry = jnp.zeros_like(borrow)
+        for j in range(N_LIMBS):
+            v = diff[j] + jnp.where(underflow, P[j], jnp.uint32(0)) + carry
+            out.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(out, axis=-1)
+
+    def _neg(self, a: jax.Array) -> jax.Array:
+        zero = jnp.zeros_like(a)
+        return self._sub(zero, a)
+
+    def _double(self, a: jax.Array) -> jax.Array:
+        return self._add(a, a)
+
+    def _mont_mul(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Montgomery product: a*b*R^{-1} mod p.
+
+        Column-accumulated schoolbook + interleaved REDC; all intermediates
+        < 2^23 so uint32 lanes never overflow (see module docstring).
+        """
+        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, shape + (N_LIMBS,))
+        b = jnp.broadcast_to(b, shape + (N_LIMBS,))
+        cols = jnp.zeros(shape + (2 * N_LIMBS + 1,), dtype=jnp.uint32)
+        # 1. product columns: cols[k] = sum_{i+j=k} lo(a_i b_j) + sum_{i+j=k-1} hi(a_i b_j)
+        for i in range(N_LIMBS):
+            prod = a[..., i : i + 1] * b  # exact 32-bit
+            cols = cols.at[..., i : i + N_LIMBS].add(prod & MASK)
+            cols = cols.at[..., i + 1 : i + N_LIMBS + 1].add(prod >> LIMB_BITS)
+        # 2. interleaved Montgomery reduction
+        P = jnp.asarray(self.P)
+        n0 = jnp.uint32(self.n0)
+        for i in range(N_LIMBS):
+            # normalize column i so its low 16 bits are exact
+            ci = cols[..., i]
+            cols = cols.at[..., i + 1].add(ci >> LIMB_BITS)
+            t_i = ci & MASK
+            m = (t_i * n0) & MASK
+            prod = m[..., None] * P
+            lo = prod & MASK
+            hi = prod >> LIMB_BITS
+            # t_i + lo[0] == 0 mod 2^16 by construction; carry its high bit
+            cols = cols.at[..., i + 1 : i + N_LIMBS + 1].add(hi)
+            cols = cols.at[..., i + 1 : i + N_LIMBS].add(lo[..., 1:])
+            cols = cols.at[..., i + 1].add((t_i + lo[..., 0]) >> LIMB_BITS)
+        # 3. result = columns 16..32, normalized, then one conditional subtract
+        t = self._carry(cols[..., N_LIMBS:], N_LIMBS + 1)
+        return self._cond_sub_p(t)
+
+    def _square(self, a: jax.Array) -> jax.Array:
+        return self._mont_mul(a, a)
+
+    def _to_mont(self, x: jax.Array) -> jax.Array:
+        return self._mont_mul(x, jnp.asarray(self.R2))
+
+    def _from_mont(self, x: jax.Array) -> jax.Array:
+        one = jnp.zeros_like(x).at[..., 0].set(1)
+        return self._mont_mul(x, one)
+
+    # --- scalar-exponent ops ----------------------------------------------------
+    def _pow_impl(self, a: jax.Array, bits: jax.Array) -> jax.Array:
+        """a^e via lax.scan over MSB-first exponent bits (small compiled graph)."""
+        init = jnp.broadcast_to(jnp.asarray(self.ONE_MONT), a.shape)
+
+        def body(acc, bit):
+            acc = self._mont_mul(acc, acc)
+            with_mul = self._mont_mul(acc, a)
+            acc = jnp.where(bit, with_mul, acc)
+            return acc, None
+
+        out, _ = jax.lax.scan(body, init, bits)
+        return out
+
+    def pow(self, a: jax.Array, e: int) -> jax.Array:
+        """a^e for a static int exponent (square-and-multiply under lax.scan)."""
+        fn = self._pow_cache.get(e)
+        if fn is None:
+            bits = jnp.asarray([b == "1" for b in bin(e)[2:]], dtype=bool)
+            fn = jax.jit(lambda x: self._pow_impl(x, bits))
+            self._pow_cache[e] = fn
+        return fn(a)
+
+    def _inv(self, a: jax.Array) -> jax.Array:
+        """Fermat inverse a^(p-2); zero input yields zero output."""
+        bits = jnp.asarray([b == "1" for b in bin(self.p_int - 2)[2:]], dtype=bool)
+        return self._pow_impl(a, bits)
+
+    def _batch_inv(self, a: jax.Array) -> jax.Array:
+        """Montgomery batch inversion along the leading axis: one inv total.
+
+        Zero entries are passed through as zero (same convention as
+        halo2curves' batch_invert_assume_nonzero variants with zero-skip).
+        """
+        n = a.shape[0]
+        is_zero = self.is_zero(a)
+        one = jnp.broadcast_to(jnp.asarray(self.ONE_MONT), a.shape)
+        safe = jnp.where(is_zero[..., None], one, a)
+
+        def scan_fwd(carry, x):
+            nxt = self._mont_mul(carry, x)
+            return nxt, carry  # prefix product EXCLUSIVE
+
+        total, prefix = jax.lax.scan(scan_fwd, one[0], safe)
+        inv_total = self._inv(total)
+
+        def scan_bwd(carry, xs):
+            x, pre = xs
+            inv_x = self._mont_mul(carry, pre)
+            nxt = self._mont_mul(carry, x)
+            return nxt, inv_x
+
+        _, invs = jax.lax.scan(scan_bwd, inv_total, (safe, prefix), reverse=True)
+        return jnp.where(is_zero[..., None], jnp.zeros_like(a), invs)
+
+    # --- predicates ---------------------------------------------------------------
+    @staticmethod
+    def is_zero(a: jax.Array) -> jax.Array:
+        return jnp.all(a == 0, axis=-1)
+
+    @staticmethod
+    def eq(a: jax.Array, b: jax.Array) -> jax.Array:
+        return jnp.all(a == b, axis=-1)
+
+    @staticmethod
+    def select(cond: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+        """cond ? a : b, cond shaped like the batch dims."""
+        return jnp.where(cond[..., None], a, b)
+
+    # --- constants ------------------------------------------------------------------
+    def zero(self, shape=()) -> jax.Array:
+        return jnp.zeros(shape + (N_LIMBS,), dtype=jnp.uint32)
+
+    def one_mont(self, shape=()) -> jax.Array:
+        return jnp.broadcast_to(jnp.asarray(self.ONE_MONT), shape + (N_LIMBS,))
+
+    def const(self, value: int, shape=()) -> jax.Array:
+        return jnp.broadcast_to(self.pack(value), shape + (N_LIMBS,))
