@@ -20,3 +20,25 @@ same-named path in the upstream Rust repo.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (kernels here are large and
+    shape-stable, so cache hits save minutes per run; harmless if unsupported)."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "HALO2_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/halo2_lib_tpu_jax")
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

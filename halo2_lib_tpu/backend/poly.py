@@ -1,0 +1,138 @@
+"""Polynomial domain for the PlonKish prover: NTT-backed ops over bn254 Fr.
+
+The role of halo2's `EvaluationDomain`: coefficient <-> Lagrange conversions,
+extended-coset evaluation for the quotient polynomial, vanishing-poly division
+and Lagrange-basis helpers. Vector math runs on device (JAX uint32-limb
+Montgomery, see ops/limbs.py + ops/ntt.py); scalar helpers are exact host ints.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.limbs import DeviceField, ints_to_limbs, limbs_to_ints, N_LIMBS
+from ..ops.ntt import NTT, CosetNTT
+from ..utils.fields import FR_BN254
+
+# coset shift for the extended domain (any non-subgroup element; halo2 uses
+# zeta * g — we use the multiplicative generator)
+COSET_SHIFT = 7
+# extension factor: quotient degree < (cs_degree - 1) * n, cs_degree = 4 -> 4n
+EXT_FACTOR = 4
+
+
+@lru_cache(maxsize=8)
+def _domain(k: int) -> "Domain":
+    return Domain(k)
+
+
+def domain(k: int) -> "Domain":
+    return _domain(k)
+
+
+class Domain:
+    def __init__(self, k: int):
+        self.k = k
+        self.n = 1 << k
+        self.F = FR_BN254
+        self.df = DeviceField(FR_BN254)
+        self.ntt = NTT(self.df, k)
+        self.k_ext = k + (EXT_FACTOR.bit_length() - 1)
+        self.n_ext = 1 << self.k_ext
+        self.coset_ntt = CosetNTT(self.df, self.k_ext, COSET_SHIFT)
+        self.omega = self.ntt.omega
+        self.omega_inv = self.ntt.omega_inv
+        # 1 / Z_H on the extended coset: Z_H(g w_ext^i) = g^n w_ext^{n i} - 1
+        p = self.F.p
+        g_n = pow(COSET_SHIFT, self.n, p)
+        w_ext_n = pow(self.coset_ntt.ntt.omega, self.n, p)  # primitive EXT_FACTOR-th root
+        vals = []
+        cur = g_n
+        for i in range(EXT_FACTOR):
+            vals.append((cur - 1) % p)
+            cur = cur * w_ext_n % p
+        inv_vals = [pow(v, -1, p) for v in vals]
+        # pattern repeats with period EXT_FACTOR across the 4n points
+        full = [inv_vals[i % EXT_FACTOR] for i in range(self.n_ext)]
+        self.zh_inv_ext = self.pack(full)
+
+    # --- packing -------------------------------------------------------------
+    def pack(self, values: list[int]) -> jax.Array:
+        """ints -> Montgomery limb tensor [len, 16]."""
+        p = self.F.p
+        mont = [(int(v) << 256) % p for v in values]
+        return jnp.asarray(ints_to_limbs(mont))
+
+    def unpack(self, arr) -> list[int]:
+        p = self.F.p
+        rinv = pow(1 << 256, -1, p)
+        a = np.asarray(jax.device_get(arr))
+        return [(v * rinv) % p for v in limbs_to_ints(a.reshape(-1, N_LIMBS))]
+
+    # --- conversions -----------------------------------------------------------
+    def lagrange_to_coeff(self, evals: jax.Array) -> jax.Array:
+        """values on H -> coefficients (device IFFT)."""
+        return self.ntt.inverse(evals)
+
+    def coeff_to_lagrange(self, coeffs: jax.Array) -> jax.Array:
+        return self.ntt.forward(coeffs)
+
+    def coeff_to_extended(self, coeffs: jax.Array) -> jax.Array:
+        """coeffs (len n) -> evals on the 4n coset g*H_ext."""
+        padded = jnp.zeros((self.n_ext, N_LIMBS), dtype=jnp.uint32).at[: coeffs.shape[0]].set(coeffs)
+        return self.coset_ntt.forward(padded)
+
+    def extended_to_coeff(self, evals: jax.Array) -> jax.Array:
+        return self.coset_ntt.inverse(evals)
+
+    def divide_by_vanishing(self, ext_evals: jax.Array) -> jax.Array:
+        """Multiply extended evals by 1/Z_H (exact when divisible)."""
+        return self.df.mont_mul(ext_evals, self.zh_inv_ext)
+
+    # --- device elementwise ---------------------------------------------------------
+    def mul(self, a, b):
+        return self.df.mont_mul(a, b)
+
+    def add(self, a, b):
+        return self.df.add(a, b)
+
+    def sub(self, a, b):
+        return self.df.sub(a, b)
+
+    def rotate_ext(self, ext_evals: jax.Array, rotation: int) -> jax.Array:
+        """Rotation by w^rotation on the n-domain = roll by EXT_FACTOR * rotation."""
+        return jnp.roll(ext_evals, -EXT_FACTOR * rotation, axis=0)
+
+    def const_ext(self, c: int) -> jax.Array:
+        """Constant c broadcast over the extended domain."""
+        one = self.pack([c])[0]
+        return jnp.broadcast_to(one, (self.n_ext, N_LIMBS))
+
+    # --- host scalar helpers -------------------------------------------------------
+    def eval_coeffs_host(self, coeffs: list[int], x: int) -> int:
+        """Horner evaluation with exact ints."""
+        p = self.F.p
+        acc = 0
+        for c in reversed(coeffs):
+            acc = (acc * x + c) % p
+        return acc
+
+    def lagrange_evals_host(self, indices: list[int], x: int) -> dict[int, int]:
+        """L_i(x) = (w^i / n) * (x^n - 1) / (x - w^i) for the given rows."""
+        p = self.F.p
+        xn = pow(x, self.n, p)
+        zh = (xn - 1) % p
+        n_inv = pow(self.n, -1, p)
+        out = {}
+        for i in indices:
+            wi = pow(self.omega, i, p)
+            out[i] = wi * n_inv % p * zh % p * pow((x - wi) % p, -1, p) % p
+        return out
+
+    def l0_host(self, x: int) -> int:
+        return self.lagrange_evals_host([0], x)[0]

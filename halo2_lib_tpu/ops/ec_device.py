@@ -1,0 +1,270 @@
+"""Device (JAX) elliptic-curve arithmetic: batched Jacobian G1 ops + MSM.
+
+This is the TPU backend for the prover's KZG column commitments — the role of
+Pippenger MSM inside `halo2-axiom`'s `create_proof` (SURVEY.md §2.9). Points
+live in Jacobian coordinates as three `uint32[..., 16]` Montgomery-limb
+tensors (see ops/limbs.py); the identity is Z == 0.
+
+All point ops are branch-free (every case computed, then `select`ed), so they
+vmap/jit/shard cleanly. The MSM is Pippenger with sort + segmented-scan bucket
+accumulation:
+  * per window: bucket index per point, sort points by bucket,
+    segmented associative scan (EC add monoid) -> bucket sums,
+  * suffix-sum trick batched ACROSS windows (one lax.scan over 2^c steps
+    with the window axis vectorized),
+  * final window combine by repeated doubling.
+This maps the O(N) work onto long vector ops (VPU-friendly) and keeps the
+only sequential parts at O(2^c + c * num_windows) scalar-point ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.curves import ShortWeierstrass
+from .limbs import LIMB_BITS, MASK, N_LIMBS, DeviceField, _int_to_limbs
+
+
+class DeviceCurve:
+    """Batched Jacobian arithmetic for y^2 = x^3 + b over df.field."""
+
+    def __init__(self, df: DeviceField, curve: ShortWeierstrass):
+        assert df.field == curve.base
+        self.df = df
+        self.curve = curve
+        self.add = jax.jit(self._add)
+        self.double = jax.jit(self._double)
+
+    # --- packing -----------------------------------------------------------
+    def pack_points(self, points) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Affine host points ((x, y) or None) -> Jacobian limb tensors."""
+        from .limbs import ints_to_limbs
+
+        p = self.df.p_int
+        R = self.df.R
+        xs = [0 if pt is None else (pt[0] * R) % p for pt in points]
+        ys = [0 if pt is None else (pt[1] * R) % p for pt in points]
+        zs = [0 if pt is None else R % p for pt in points]
+        return (
+            jnp.asarray(ints_to_limbs(xs)),
+            jnp.asarray(ints_to_limbs(ys)),
+            jnp.asarray(ints_to_limbs(zs)),
+        )
+
+    def unpack_points(self, P) -> list:
+        """Jacobian limb tensors -> affine host points (None for identity)."""
+        X, Y, Z = (np.asarray(jax.device_get(t)) for t in P)
+        flat = X.reshape(-1, N_LIMBS), Y.reshape(-1, N_LIMBS), Z.reshape(-1, N_LIMBS)
+        F = self.curve.base
+        xs = self.df.unpack(flat[0])
+        ys = self.df.unpack(flat[1])
+        zs = self.df.unpack(flat[2])
+        out = []
+        for x, y, z in zip(xs, ys, zs):
+            if z == 0:
+                out.append(None)
+                continue
+            zinv = F.inv(z)
+            zi2 = F.mul(zinv, zinv)
+            out.append((F.mul(x, zi2), F.mul(y, F.mul(zi2, zinv))))
+        return out
+
+    def identity(self, shape=()) -> tuple:
+        z = self.df.zero(shape)
+        return (z, z, z)
+
+    # --- point ops (branch-free) --------------------------------------------
+    def _double(self, P):
+        """dbl-2009-l (a = 0): 2M + 5S."""
+        df = self.df
+        X, Y, Z = P
+        A = df._mont_mul(X, X)
+        B = df._mont_mul(Y, Y)
+        C = df._mont_mul(B, B)
+        t = df._add(X, B)
+        D = df._sub(df._sub(df._mont_mul(t, t), A), C)
+        D = df._add(D, D)
+        E = df._add(df._add(A, A), A)
+        F_ = df._mont_mul(E, E)
+        X3 = df._sub(F_, df._add(D, D))
+        C8 = df._add(df._add(df._add(C, C), df._add(C, C)), df._add(df._add(C, C), df._add(C, C)))
+        Y3 = df._sub(df._mont_mul(E, df._sub(D, X3)), C8)
+        Z3 = df._add(df._mont_mul(Y, Z), df._mont_mul(Y, Z))
+        return (X3, Y3, Z3)
+
+    def _add(self, P1, P2):
+        """Complete add via add-2007-bl + case selects (11M + 5S + branches)."""
+        df = self.df
+        X1, Y1, Z1 = P1
+        X2, Y2, Z2 = P2
+        Z1Z1 = df._mont_mul(Z1, Z1)
+        Z2Z2 = df._mont_mul(Z2, Z2)
+        U1 = df._mont_mul(X1, Z2Z2)
+        U2 = df._mont_mul(X2, Z1Z1)
+        S1 = df._mont_mul(df._mont_mul(Y1, Z2), Z2Z2)
+        S2 = df._mont_mul(df._mont_mul(Y2, Z1), Z1Z1)
+        H = df._sub(U2, U1)
+        r = df._sub(S2, S1)
+
+        HH = df._mont_mul(H, H)
+        I = df._add(df._add(HH, HH), df._add(HH, HH))
+        J = df._mont_mul(H, I)
+        V = df._mont_mul(U1, I)
+        r2 = df._add(r, r)
+        X3 = df._sub(df._sub(df._mont_mul(r2, r2), J), df._add(V, V))
+        S1J = df._mont_mul(S1, J)
+        Y3 = df._sub(df._mont_mul(r2, df._sub(V, X3)), df._add(S1J, S1J))
+        zz = df._add(Z1, Z2)
+        Z3 = df._mont_mul(df._sub(df._sub(df._mont_mul(zz, zz), Z1Z1), Z2Z2), H)
+
+        # special cases
+        p1_inf = df.is_zero(Z1)
+        p2_inf = df.is_zero(Z2)
+        h_zero = df.is_zero(H)
+        r_zero = df.is_zero(r)
+        dbl = self._double(P1)
+        is_double = h_zero & r_zero & ~p1_inf & ~p2_inf
+        is_identity_out = h_zero & ~r_zero & ~p1_inf & ~p2_inf
+
+        def sel(c, a, b):
+            return jnp.where(c[..., None], a, b)
+
+        X3 = sel(is_double, dbl[0], X3)
+        Y3 = sel(is_double, dbl[1], Y3)
+        Z3 = sel(is_double, dbl[2], Z3)
+        Z3 = sel(is_identity_out, jnp.zeros_like(Z3), Z3)
+        # P1 = O -> P2 ; P2 = O -> P1
+        X3 = sel(p2_inf, X1, sel(p1_inf, X2, X3))
+        Y3 = sel(p2_inf, Y1, sel(p1_inf, Y2, Y3))
+        Z3 = sel(p2_inf, Z1, sel(p1_inf, Z2, Z3))
+        return (X3, Y3, Z3)
+
+    def select(self, cond, P, Q):
+        """cond ? P : Q, cond shaped like the batch dims."""
+        c = cond[..., None]
+        return tuple(jnp.where(c, a, b) for a, b in zip(P, Q))
+
+    # --- reductions -----------------------------------------------------------
+    def tree_reduce(self, P):
+        """Sum points along the leading axis by halving (log N complete adds)."""
+        X, Y, Z = P
+        n = X.shape[0]
+        while n > 1:
+            half = n // 2
+            even = (X[: 2 * half : 2], Y[: 2 * half : 2], Z[: 2 * half : 2])
+            odd = (X[1 : 2 * half : 2], Y[1 : 2 * half : 2], Z[1 : 2 * half : 2])
+            s = self._add(even, odd)
+            if n % 2:
+                X = jnp.concatenate([s[0], X[-1:]], 0)
+                Y = jnp.concatenate([s[1], Y[-1:]], 0)
+                Z = jnp.concatenate([s[2], Z[-1:]], 0)
+            else:
+                X, Y, Z = s
+            n = X.shape[0]
+        return (X[0], Y[0], Z[0])
+
+    # --- MSM -------------------------------------------------------------------
+    def pack_scalars(self, scalars: list[int], window_bits: int) -> jax.Array:
+        """Scalars -> int32[num_windows, n] window digits."""
+        r = self.curve.scalar.p
+        nbits = r.bit_length()
+        num_windows = -(-nbits // window_bits)
+        mask = (1 << window_bits) - 1
+        out = np.zeros((num_windows, len(scalars)), dtype=np.int32)
+        for i, s in enumerate(scalars):
+            s = s % r
+            for w in range(num_windows):
+                out[w, i] = (s >> (w * window_bits)) & mask
+        return jnp.asarray(out)
+
+    def msm(self, points, scalars: list[int], window_bits: int = 8):
+        """Full Pippenger MSM; host points/ints in, Jacobian point out."""
+        P = self.pack_points(points)
+        digits = self.pack_scalars(scalars, window_bits)
+        return msm_device(self, P, digits, window_bits)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
+    """Pippenger on device. P: (X,Y,Z) uint32[n,16]; digits: int32[W, n]."""
+    df = dc.df
+    num_windows, n = digits.shape
+    nbuckets = (1 << window_bits) - 1  # bucket 0 (digit 0) is dropped
+
+    def window_buckets(wdigits):
+        """Bucket sums for one window: uint32[nbuckets, 16] x3."""
+        # sort points by digit
+        order = jnp.argsort(wdigits)
+        d_sorted = wdigits[order]
+        Xs, Ys, Zs = (t[order] for t in P)
+        # zero out digit-0 points (treat as identity)
+        live = d_sorted > 0
+        Zs = jnp.where(live[:, None], Zs, 0)
+
+        # segmented inclusive scan (Hillis-Steele, log2 n levels under a
+        # fori_loop so the EC-add graph is traced ONCE, not per level)
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), d_sorted[1:] != d_sorted[:-1]]
+        )
+        npts = d_sorted.shape[0]
+        row = jnp.arange(npts)
+        levels = max((npts - 1).bit_length(), 1)
+
+        def level_body(d, state):
+            x, y, z, flag = state
+            shift = jnp.int32(1) << d
+            px = jnp.roll(x, shift, axis=0)
+            py = jnp.roll(y, shift, axis=0)
+            pz = jnp.roll(z, shift, axis=0)
+            pflag = jnp.roll(flag, shift, axis=0)
+            s = dc._add((x, y, z), (px, py, pz))
+            # take the sum only where this row hasn't hit its segment start
+            # and the shifted element is real (no wraparound)
+            use = (~flag) & (row >= shift)
+            nx = jnp.where(use[:, None], s[0], x)
+            ny = jnp.where(use[:, None], s[1], y)
+            nz = jnp.where(use[:, None], s[2], z)
+            nflag = flag | (use & pflag) | (~(row >= shift))
+            return (nx, ny, nz, nflag)
+
+        sx, sy, sz, _ = jax.lax.fori_loop(
+            0, levels, level_body, (Xs, Ys, Zs, seg_start)
+        )
+        # last element of each segment = positions where next starts a new segment
+        seg_end = jnp.concatenate([seg_start[1:], jnp.ones((1,), bool)])
+        # scatter segment sums into buckets by digit (digit>=1 -> bucket digit-1)
+        bucket_idx = jnp.where(seg_end & (d_sorted > 0), d_sorted - 1, nbuckets)
+        bX = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sx)
+        bY = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sy)
+        bZ = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sz)
+        return bX[:nbuckets], bY[:nbuckets], bZ[:nbuckets]
+
+    bX, bY, bZ = jax.vmap(window_buckets)(digits)  # [W, nbuckets, 16]
+
+    # suffix-sum trick, vectorized across windows:
+    # acc_b = sum_{j >= b} S_j ; window_total = sum_b acc_b
+    ident = dc.identity((num_windows,))
+
+    def suffix_step(carry, bucket):
+        acc, total = carry
+        acc = dc._add(acc, bucket)
+        total = dc._add(total, acc)
+        return (acc, total), None
+
+    buckets_rev = (bX[:, ::-1].swapaxes(0, 1), bY[:, ::-1].swapaxes(0, 1), bZ[:, ::-1].swapaxes(0, 1))
+    (acc, totals), _ = jax.lax.scan(suffix_step, (ident, ident), buckets_rev)
+
+    # combine windows MSB-first: res = ((W_top * 2^c + W_top-1) * 2^c + ...)
+    def window_step(res, w):
+        res = jax.lax.fori_loop(0, window_bits, lambda _, r: dc._double(r), res)
+        Pw = (totals[0][w], totals[1][w], totals[2][w])
+        return dc._add(res, Pw), None
+
+    res = dc.identity(())
+    res, _ = jax.lax.scan(window_step, res, jnp.arange(num_windows - 1, -1, -1))
+    return res

@@ -40,6 +40,25 @@ def _limbs_to_int(a) -> int:
     return out
 
 
+def ints_to_limbs(values: list[int], n: int = N_LIMBS) -> np.ndarray:
+    """Vectorized packing: list of ints (< 2^(16n)) -> uint32[len, n] limbs."""
+    nbytes = 2 * n
+    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(values), n)
+    return u16.astype(np.uint32)
+
+
+def limbs_to_ints(arr) -> list[int]:
+    """Vectorized unpacking: uint32[..., n] 16-bit limbs -> list of ints."""
+    a = np.asarray(arr, dtype=np.uint32).reshape(-1, arr.shape[-1])
+    u16 = a.astype("<u2")
+    buf = u16.tobytes()
+    nbytes = 2 * a.shape[-1]
+    return [
+        int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little") for i in range(a.shape[0])
+    ]
+
+
 class DeviceField:
     """Batched modular arithmetic for one prime field on device.
 
@@ -56,6 +75,8 @@ class DeviceField:
         self.P = _int_to_limbs(p)
         # n0 = -p^{-1} mod 2^16 (Montgomery magic constant)
         self.n0 = np.uint32((-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        # nprime = -p^{-1} mod 2^256, 16 limbs (for SOS Montgomery reduction)
+        self.NPRIME = _int_to_limbs((-pow(p, -1, 1 << 256)) % (1 << 256))
         self.R = (1 << 256) % p
         self.R2 = _int_to_limbs((self.R * self.R) % p)
         self.ONE_MONT = _int_to_limbs(self.R)  # 1 in Montgomery form
@@ -84,22 +105,18 @@ class DeviceField:
         else:
             squeeze = False
         p = self.p_int
-        arr = np.zeros((len(values), N_LIMBS), dtype=np.uint32)
-        for i, v in enumerate(values):
-            v = v % p
-            if mont:
-                v = (v << 256) % p
-            arr[i] = _int_to_limbs(v)
-        out = jnp.asarray(arr)
+        if mont:
+            vals = [(int(v) << 256) % p for v in values]
+        else:
+            vals = [int(v) % p for v in values]
+        out = jnp.asarray(ints_to_limbs(vals))
         return out[0] if squeeze else out
 
     def unpack(self, arr, mont: bool = True) -> list[int]:
         """Unpack limb tensors back to canonical python ints."""
-        a = np.asarray(jax.device_get(arr))
-        flat = a.reshape(-1, N_LIMBS)
+        a = np.asarray(jax.device_get(arr)).reshape(-1, N_LIMBS)
         rinv = pow(1 << 256, -1, self.p_int) if mont else 1
-        out = [(_limbs_to_int(row) * rinv) % self.p_int for row in flat]
-        return out
+        return [(v * rinv) % self.p_int for v in limbs_to_ints(a)]
 
     # --- carry helpers -------------------------------------------------------
     @staticmethod
@@ -162,40 +179,72 @@ class DeviceField:
     def _double(self, a: jax.Array) -> jax.Array:
         return self._add(a, a)
 
-    def _mont_mul(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        """Montgomery product: a*b*R^{-1} mod p.
+    @staticmethod
+    def _conv_cols(a: jax.Array, b: jax.Array, conv_mat: jax.Array) -> jax.Array:
+        """Product columns cols[k] = sum_{i+j=k} a_i b_j split into lo/hi halves.
 
-        Column-accumulated schoolbook + interleaved REDC; all intermediates
-        < 2^23 so uint32 lanes never overflow (see module docstring).
+        One batched uint32 matmul against a 0/1 anti-diagonal matrix — no
+        scatters, so the XLA graph stays tiny and the op is MXU-friendly.
+        Output: uint32[..., 2*N_LIMBS + 1] with entries < 2^21.
+        """
+        prod = a[..., :, None] * b[..., None, :]  # [..., 16, 16], exact in u32
+        lohi = jnp.concatenate(
+            [(prod & MASK).reshape(*prod.shape[:-2], N_LIMBS * N_LIMBS),
+             (prod >> LIMB_BITS).reshape(*prod.shape[:-2], N_LIMBS * N_LIMBS)],
+            axis=-1,
+        )
+        return lohi @ conv_mat
+
+    @staticmethod
+    def _normalize_low(cols: jax.Array, k: int):
+        """Carry-normalize the first k columns; returns (limbs[..., k], carry)."""
+        outs = []
+        carry = jnp.zeros_like(cols[..., 0])
+        for j in range(k):
+            v = cols[..., j] + carry
+            outs.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(outs, axis=-1), carry
+
+    def _mont_mul(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Montgomery product a*b*R^{-1} mod p (SOS form).
+
+        T = a*b; m = (T mod R) * n' mod R; out = (T + m*p) / R, cond-subtract.
+        All convolutions are one-hot matmuls (see _conv_cols); the only
+        sequential parts are three 16-step carry chains of tiny elementwise
+        ops. Intermediate column sums stay < 2^22, safe in uint32 lanes.
         """
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, shape + (N_LIMBS,))
         b = jnp.broadcast_to(b, shape + (N_LIMBS,))
-        cols = jnp.zeros(shape + (2 * N_LIMBS + 1,), dtype=jnp.uint32)
-        # 1. product columns: cols[k] = sum_{i+j=k} lo(a_i b_j) + sum_{i+j=k-1} hi(a_i b_j)
-        for i in range(N_LIMBS):
-            prod = a[..., i : i + 1] * b  # exact 32-bit
-            cols = cols.at[..., i : i + N_LIMBS].add(prod & MASK)
-            cols = cols.at[..., i + 1 : i + N_LIMBS + 1].add(prod >> LIMB_BITS)
-        # 2. interleaved Montgomery reduction
-        P = jnp.asarray(self.P)
-        n0 = jnp.uint32(self.n0)
-        for i in range(N_LIMBS):
-            # normalize column i so its low 16 bits are exact
-            ci = cols[..., i]
-            cols = cols.at[..., i + 1].add(ci >> LIMB_BITS)
-            t_i = ci & MASK
-            m = (t_i * n0) & MASK
-            prod = m[..., None] * P
-            lo = prod & MASK
-            hi = prod >> LIMB_BITS
-            # t_i + lo[0] == 0 mod 2^16 by construction; carry its high bit
-            cols = cols.at[..., i + 1 : i + N_LIMBS + 1].add(hi)
-            cols = cols.at[..., i + 1 : i + N_LIMBS].add(lo[..., 1:])
-            cols = cols.at[..., i + 1].add((t_i + lo[..., 0]) >> LIMB_BITS)
-        # 3. result = columns 16..32, normalized, then one conditional subtract
-        t = self._carry(cols[..., N_LIMBS:], N_LIMBS + 1)
+        conv_mat = self._conv_mat()
+        T = self._conv_cols(a, b, conv_mat)  # [..., 33]
+        # m = (T mod R) * nprime mod R
+        t_lo, t_carry = self._normalize_low(T, N_LIMBS)
+        m_cols = self._conv_cols(t_lo, jnp.asarray(self.NPRIME), conv_mat)
+        m, _ = self._normalize_low(m_cols, N_LIMBS)  # mod R: drop carry
+        # S = T + m*p; low 16 columns vanish mod R; propagate their carry up
+        U = self._conv_cols(m, jnp.asarray(self.P), conv_mat)
+        S = T + U  # columns < 2^22
+        _, low_carry = self._normalize_low(S, N_LIMBS)
+        high = S[..., N_LIMBS:]  # 17 columns
+        high = jnp.concatenate([(high[..., 0] + low_carry)[..., None], high[..., 1:]], axis=-1)
+        t = self._carry(high, N_LIMBS + 1)
         return self._cond_sub_p(t)
+
+    _CONV_MAT_CACHE: dict[int, object] = {}
+
+    def _conv_mat(self) -> jax.Array:
+        """[2*256, 33] 0/1 matrix: (i, j) lo -> col i+j, hi -> col i+j+1."""
+        mat = DeviceField._CONV_MAT_CACHE.get(0)
+        if mat is None:
+            mat = np.zeros((2 * N_LIMBS * N_LIMBS, 2 * N_LIMBS + 1), dtype=np.uint32)
+            for i in range(N_LIMBS):
+                for j in range(N_LIMBS):
+                    mat[i * N_LIMBS + j, i + j] = 1
+                    mat[N_LIMBS * N_LIMBS + i * N_LIMBS + j, i + j + 1] = 1
+            DeviceField._CONV_MAT_CACHE[0] = mat
+        return jnp.asarray(mat)
 
     def _square(self, a: jax.Array) -> jax.Array:
         return self._mont_mul(a, a)
