@@ -113,6 +113,14 @@ class MockProver:
                             f"q_lookup failure phase {phase_idx} row {r}: {v} not in [0, 2^{lb})"
                         )
 
+        # 3b. dynamic lookups (RAM gadget; core/dyn_lookup.py)
+        if c.dyn_lookups:
+            from ..core.dyn_lookup import check_dyn_lookups
+
+            errors.extend(check_dyn_lookups(c.dyn_lookups))
+            if len(errors) > 16:
+                return errors
+
         # 4. instance values match provided
         if self.provided_instances is not None:
             for i, (exp, got) in enumerate(zip(c.instances, self.provided_instances)):

@@ -113,6 +113,46 @@ class Domain:
         one = self.pack([c])[0]
         return jnp.broadcast_to(one, (self.n_ext, N_LIMBS))
 
+    def const_h(self, c: int) -> jax.Array:
+        """Constant c broadcast over the base domain H."""
+        one = self.pack([c])[0]
+        return jnp.broadcast_to(one, (self.n, N_LIMBS))
+
+    # --- device scalar-power helpers ------------------------------------------------
+    def omega_pows_dev(self) -> jax.Array:
+        """[n, 16] Montgomery values of the domain points w^i (cached)."""
+        if not hasattr(self, "_omega_pows_dev"):
+            p = self.F.p
+            vals = [1] * self.n
+            for i in range(1, self.n):
+                vals[i] = vals[i - 1] * self.omega % p
+            self._omega_pows_dev = self.pack(vals)
+        return self._omega_pows_dev
+
+    def pows_dev(self, x: int, m: int) -> jax.Array:
+        """[m, 16] powers 1, x, ..., x^{m-1} via a log-depth product scan."""
+        xm = self.pack([x])[0]
+        base = jnp.broadcast_to(xm, (m, 16))
+        one = jnp.broadcast_to(jnp.asarray(self.df.ONE_MONT), (1, 16))
+        stacked = jnp.concatenate([one, base[:-1]], axis=0)
+        return jax.lax.associative_scan(self.df._mont_mul, stacked)
+
+    def eval_many_at(self, coeff_stack: jax.Array, x: int) -> list[int]:
+        """Evaluate a stack of coeff polys [m, n, 16] at scalar x; host ints out."""
+        xp = self.pows_dev(x, coeff_stack.shape[1])
+        prods = self.df.mont_mul(coeff_stack, xp[None])
+        # log-depth sum over axis 1
+        s = prods
+        while s.shape[1] > 1:
+            half = s.shape[1] // 2
+            red = self.df.add(s[:, :half], s[:, half : 2 * half])
+            if s.shape[1] % 2:
+                red = jnp.concatenate(
+                    [self.df.add(red[:, :1], s[:, -1:]), red[:, 1:]], axis=1
+                )
+            s = red
+        return self.unpack(s[:, 0])
+
     # --- host scalar helpers -------------------------------------------------------
     def eval_coeffs_host(self, coeffs: list[int], x: int) -> int:
         """Horner evaluation with exact ints."""

@@ -3,10 +3,12 @@
 Role of halo2-axiom's `create_proof::<KZGCommitmentScheme, ProverSHPLONK,
 Challenge255, _, Blake2bWrite, _>` (SURVEY.md §2.9, §3.3). Hot paths run on
 device: column IFFTs / extended-coset FFTs (ops/ntt.py), Pippenger MSM
-commitments (ops/ec_device.py), and the quotient evaluation as batched
-Montgomery-limb tensor math. Sequential scalar work (grand products, permuted
-pairs, SHPLONK small-poly algebra) is exact host-int; it is O(n) with small
-constants.
+commitments (ops/ec_device.py), the quotient evaluation as batched
+Montgomery-limb tensor math, grand products via log-depth associative scans +
+one batched inversion, and the SHPLONK multiopen in *evaluation form* on H
+(every polynomial division becomes a pointwise multiply by a batched inverse;
+the only host-scalar work left is the tiny <=deg-3 interpolations and the
+lookup permuted-pair sort).
 
 Protocol phases (must mirror verifier.py exactly):
   vk hash + instances -> advice commitments -> theta -> lookup permuted
@@ -16,9 +18,21 @@ Protocol phases (must mirror verifier.py exactly):
 
 from __future__ import annotations
 
+import os as _os
 import random as _random
+import time as _time
 
+import jax
 import jax.numpy as jnp
+
+_DEBUG = _os.environ.get("HALO2_PROVER_DEBUG") == "1"
+
+
+def _stage(label: str, t0: float) -> float:
+    now = _time.time()
+    if _DEBUG:
+        print(f"[prover] {label}: {now - t0:.2f}s", flush=True)
+    return now
 
 from ..gates.circuit import BaseCircuitBuilder, PhysicalCircuit
 from ..utils.fields import FR_BN254
@@ -111,6 +125,7 @@ def create_proof(
     dom = get_domain(k)
     u = usable_row_count(n)
     rng = _random.Random(("create-proof-blinding", seed).__repr__())
+    _t = _time.time()
 
     if isinstance(builder_or_circuit, BaseCircuitBuilder):
         circuit: PhysicalCircuit = builder_or_circuit.synthesize()
@@ -154,14 +169,17 @@ def create_proof(
     def commit_vals(label: str, vals: list[int]):
         coeffs = to_coeffs(vals)
         poly_cache[label] = coeffs
-        return params.commit(dom.unpack(coeffs))
+        poly_cache["__lag_" + label] = dom.pack(vals)
+        return params.commit_dev(coeffs, dom.df)
 
+    _t = _stage("setup", _t)
     # --- 1. advice commitments ---
     for i, vals in enumerate(advice_vals):
         tr.write_point(commit_vals(f"adv{i}", vals))
     for j, vals in enumerate(lookup_vals):
         tr.write_point(commit_vals(f"lkcol{j}", vals))
 
+    _t = _stage("advice commits", _t)
     tr.squeeze_challenge()  # theta (single-expression lookups; structural)
 
     # --- 2. lookup permuted columns ---
@@ -172,61 +190,89 @@ def create_proof(
         tr.write_point(commit_vals(f"lk{j}_a", a_p))
         tr.write_point(commit_vals(f"lk{j}_s", s_p))
 
+    _t = _stage("lookup permuted", _t)
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
 
-    # --- 3. permutation grand products ---
+    # --- 3. permutation grand products (device) ---
     perm_cols = vk.perm_columns
     chunks = perm_chunks(len(perm_cols))
+    df = dom.df
+    W = dom.omega_pows_dev()
+    gamma_h = dom.const_h(gamma)
+    row_idx = jnp.arange(n)
 
-    def col_values(ref) -> list[int]:
+    def lag_dev(label: str, vals: list[int]):
+        key = "__lag_" + label
+        if key not in poly_cache:
+            poly_cache[key] = dom.pack(vals)
+        return poly_cache[key]
+
+    def col_lag(ref):
         if ref.kind == "advice":
-            return advice_vals[ref.index]
+            return lag_dev(f"adv{ref.index}", advice_vals[ref.index])
         if ref.kind == "lookup":
-            return lookup_vals[ref.index]
+            return lag_dev(f"lkcol{ref.index}", lookup_vals[ref.index])
         if ref.kind == "fixed":
-            return pk.fixed_cols[ref.index]
+            return lag_dev(f"fix{ref.index}", pk.fixed_cols[ref.index])
         if ref.kind == "instance":
-            return instance_vals[ref.index]
+            return lag_dev(f"inst{ref.index}", instance_vals[ref.index])
         raise ValueError(ref.kind)
 
-    # omega powers and delta powers (host)
-    omega_pows = [1] * n
-    for r in range(1, n):
-        omega_pows[r] = omega_pows[r - 1] * dom.omega % P
+    def grand_product_dev(numer_dev, denom_dev):
+        """z = exclusive prefix prod of numer/denom on rows < u; random blind."""
+        ratio = df.mont_mul(numer_dev, df.batch_inv(denom_dev))
+        one_h = dom.const_h(1)
+        mask = (row_idx < u)[:, None]
+        ratio = jnp.where(mask, ratio, one_h)
+        pref = jax.lax.associative_scan(df._mont_mul, ratio)
+        z = jnp.concatenate([one_h[:1], pref[:-1]], axis=0)
+        blind = dom.pack([rng.randrange(P) for _ in range(n - u - 1)])
+        return z.at[u + 1 :].set(blind)
 
-    perm_z: list[list[int]] = []
+    def commit_lag(label: str, lag):
+        coeffs = dom.lagrange_to_coeff(lag)
+        poly_cache[label] = coeffs
+        poly_cache["__lag_" + label] = lag
+        return params.commit_dev(coeffs, df)
+
     last_z_end = 1
     for j, (s, e) in enumerate(chunks):
-        numer = [1] * u
-        denom = [1] * u
+        numer = dom.const_h(1)
+        denom = dom.const_h(1)
         for ci in range(s, e):
-            vals = col_values(perm_cols[ci])
-            sigma = pk.perm_values[ci]
-            d_ci = pow(DELTA, ci, P)
-            for r in range(u):
-                numer[r] = numer[r] * ((vals[r] + beta * d_ci % P * omega_pows[r] + gamma) % P) % P
-                denom[r] = denom[r] * ((vals[r] + beta * sigma[r] + gamma) % P) % P
+            v = col_lag(perm_cols[ci])
+            sigma = lag_dev(f"sigma{ci}", pk.perm_values[ci])
+            bd = beta * pow(DELTA, ci, P) % P
+            id_side = df.add(df.add(v, df.mont_mul(W, dom.pack([bd])[0])), gamma_h)
+            sig_side = df.add(
+                df.add(v, df.mont_mul(sigma, dom.pack([beta])[0])), gamma_h
+            )
+            numer = df.mont_mul(numer, id_side)
+            denom = df.mont_mul(denom, sig_side)
         # Z(wX)*sigma_side = Z(X)*id_side -> z[i+1] = z[i] * id[i] / sigma[i]
-        z = _grand_product(numer, denom, u, n, rng)
-        # rescale so chunk j starts at previous chunk's end value
+        z = grand_product_dev(numer, denom)
         if j > 0:
-            z = [v * last_z_end % P for v in z[: u + 1]] + z[u + 1 :]
-        last_z_end = z[u]
-        perm_z.append(z)
-        tr.write_point(commit_vals(f"permz{j}", z))
+            scaled = df.mont_mul(z, dom.pack([last_z_end])[0])
+            z = jnp.where((row_idx <= u)[:, None], scaled, z)
+        last_z_end = dom.unpack(z[u])[0]
+        tr.write_point(commit_lag(f"permz{j}", z))
 
-    # --- lookup grand products ---
-    lookup_z: list[list[int]] = []
+    # --- lookup grand products (device) ---
     for j in range(vk.num_lookup):
         a_p, s_p = lookup_permuted[j]
-        a_in, t_in = lookup_vals[j], pk.table_col
-        numer = [(a_in[r] + beta) % P * ((t_in[r] + gamma) % P) % P for r in range(u)]
-        denom = [(a_p[r] + beta) % P * ((s_p[r] + gamma) % P) % P for r in range(u)]
-        z = _grand_product(numer, denom, u, n, rng)
-        lookup_z.append(z)
-        tr.write_point(commit_vals(f"lk{j}_zl", z))
+        a_in = lag_dev(f"lkcol{j}", lookup_vals[j])
+        t_in = lag_dev("table", pk.table_col)
+        beta_h = dom.const_h(beta)
+        numer = df.mont_mul(df.add(a_in, beta_h), df.add(t_in, gamma_h))
+        denom = df.mont_mul(
+            df.add(lag_dev(f"lk{j}_a", a_p), beta_h),
+            df.add(lag_dev(f"lk{j}_s", s_p), gamma_h),
+        )
+        z = grand_product_dev(numer, denom)
+        tr.write_point(commit_lag(f"lk{j}_zl", z))
 
+    _t = _stage("grand products", _t)
     # --- 4. vanishing random poly ---
     random_coeffs = [rng.randrange(P) for _ in range(n)]
     random_commit = params.commit(random_coeffs)
@@ -236,123 +282,150 @@ def create_proof(
     y = tr.squeeze_challenge()
 
     # --- 5. quotient on the extended coset (device) ---
-    h_coeffs = _compute_quotient(
+    h_coeffs_dev = _compute_quotient(
         dom, vk, pk, poly_cache, instance_vals, beta, gamma, y, u
     )
     # split into CS_DEGREE-1 = 3 pieces of n coefficients
-    pieces = [h_coeffs[i * n : (i + 1) * n] for i in range(3)]
-    h_piece_commits = [params.commit(piece) for piece in pieces]
-    for c in h_piece_commits:
-        tr.write_point(c)
+    pieces_dev = [h_coeffs_dev[i * n : (i + 1) * n] for i in range(3)]
+    for piece in pieces_dev:
+        tr.write_point(params.commit_dev(piece, dom.df))
 
+    _t = _stage("quotient", _t)
     x = tr.squeeze_challenge()
     pts = point_values(x, k)
 
-    # --- 6. evals ---
+    # --- 6. evals (device: batched power-dot at each point) ---
     plan = query_plan(vk)
-    # materialize host coeffs for every opened poly
-    host_coeffs: dict[str, list[int]] = {}
 
-    def coeffs_of(label: str) -> list[int]:
-        if label in host_coeffs:
-            return host_coeffs[label]
+    def coeffs_dev_of(label: str):
         if label in poly_cache:
-            c = dom.unpack(poly_cache[label])
-        elif label.startswith("sigma"):
-            c = dom.unpack(to_coeffs(pk.perm_values[int(label[5:])]))
+            return poly_cache[label]
+        if label.startswith("sigma"):
+            c = to_coeffs(pk.perm_values[int(label[5:])])
         elif label.startswith("fix"):
-            c = dom.unpack(to_coeffs(pk.fixed_cols[int(label[3:])]))
+            c = to_coeffs(pk.fixed_cols[int(label[3:])])
         elif label.startswith("sel"):
-            c = dom.unpack(to_coeffs(pk.selectors[int(label[3:])]))
+            c = to_coeffs(pk.selectors[int(label[3:])])
         elif label == "table":
-            c = dom.unpack(to_coeffs(pk.table_col))
+            c = to_coeffs(pk.table_col)
         elif label == "h":
-            # combined h poly: sum x^{n i} h_i
+            # combined h poly: sum x^{n i} h_i (device RLC of the 3 pieces)
             xc = pow(x, n, P)
-            c = [0] * n
-            scale = 1
-            for piece in pieces:
-                for d, cv in enumerate(piece):
-                    c[d] = (c[d] + scale * cv) % P
+            acc = pieces_dev[0]
+            scale = xc
+            for piece in pieces_dev[1:]:
+                sc = dom.pack([scale])[0]
+                acc = dom.df.add(acc, dom.df.mont_mul(piece, sc))
                 scale = scale * xc % P
+            c = acc
         else:
             raise KeyError(label)
-        host_coeffs[label] = c
+        poly_cache[label] = c
         return c
 
-    evals: dict[str, dict[str, int]] = {}
+    # evaluate every opened poly at every needed point in one batched call/pt
+    by_point: dict[str, list[str]] = {}
     for label, pts_labels in plan:
-        coeffs = coeffs_of(label)
-        evals[label] = {}
         for pl in pts_labels:
-            ev = dom.eval_coeffs_host(coeffs, pts[pl])
-            evals[label][pl] = ev
-            tr.write_scalar(ev)
+            by_point.setdefault(pl, []).append(label)
+    evals: dict[str, dict[str, int]] = {label: {} for label, _ in plan}
+    for pl, labels in by_point.items():
+        stack = jnp.stack([coeffs_dev_of(lb) for lb in labels])
+        vals = dom.eval_many_at(stack, pts[pl])
+        for lb, ev in zip(labels, vals):
+            evals[lb][pl] = ev
+    for label, pts_labels in plan:
+        for pl in pts_labels:
+            tr.write_scalar(evals[label][pl])
 
-    # --- 7. SHPLONK multiopen ---
+    _t = _stage("evals", _t)
+    # --- 7. SHPLONK multiopen (evaluation form on H; single IFFTs) ---
     v = tr.squeeze_challenge()
     w_ch = tr.squeeze_challenge()
     groups = group_queries(plan)
+    df = dom.df
+    W = dom.omega_pows_dev()  # [n,16] domain points (Montgomery)
 
-    g_polys = []
-    g_evals = []  # per group: {point_label: eval}
+    def lagrange_dev_of(label: str):
+        # Lagrange (evaluation) form on H of an opened poly
+        key = "__lag_" + label
+        if key in poly_cache:
+            return poly_cache[key]
+        e = dom.coeff_to_lagrange(coeffs_dev_of(label))
+        poly_cache[key] = e
+        return e
+
+    g_eval_forms = []
+    g_evals = []  # per group: {point_label: scalar eval}
     for pts_labels, labels in groups:
-        g = [0] * n
+        acc = None
         ge = {pl: 0 for pl in pts_labels}
         vpow = 1
         for label in labels:
-            c = coeffs_of(label)
-            for d, cv in enumerate(c):
-                g[d] = (g[d] + vpow * cv) % P
+            e = lagrange_dev_of(label)
+            sc = dom.pack([vpow])[0]
+            term = df.mont_mul(e, sc)
+            acc = term if acc is None else df.add(acc, term)
             for pl in pts_labels:
                 ge[pl] = (ge[pl] + vpow * evals[label][pl]) % P
             vpow = vpow * v % P
-        g_polys.append(g)
+        g_eval_forms.append(acc)
         g_evals.append(ge)
 
-    # H = sum_j w^j (g_j - r_j) / Z_{S_j}
-    h_open = [0] * n
+    # H = sum_j w^j (g_j - r_j) / Z_{S_j}, computed pointwise on H
+    # (S_j points are challenge-derived, never in H, so Z_{S_j} != 0 on H)
+    h_acc = None
     wpow = 1
-    for (pts_labels, _), g, ge in zip(groups, g_polys, g_evals):
+    r_coeffs_per_group = []
+    for (pts_labels, _), gdev, ge in zip(groups, g_eval_forms, g_evals):
         pvals = [pts[pl] for pl in pts_labels]
         r = lagrange_interpolate(pvals, [ge[pl] for pl in pts_labels])
-        num = list(g)
-        for d, cv in enumerate(r):
-            num[d] = (num[d] - cv) % P
-        quot = num
+        r_coeffs_per_group.append(r)
+        # r on H via Horner (deg <= 3)
+        r_dev = dom.const_h(r[-1])
+        for cv in reversed(r[:-1]):
+            r_dev = df.add(df.mont_mul(r_dev, W), dom.const_h(cv))
+        num = df.sub(gdev, r_dev)
+        # Z_S on H
+        zs = None
         for s in pvals:
-            quot = divide_by_linear(quot, s)
-        for d, cv in enumerate(quot):
-            h_open[d] = (h_open[d] + wpow * cv) % P
+            f = df.sub(W, dom.const_h(s))
+            zs = f if zs is None else df.mont_mul(zs, f)
+        inv_zs = df.batch_inv(zs)
+        quot = df.mont_mul(num, inv_zs)
+        term = df.mont_mul(quot, dom.pack([wpow])[0])
+        h_acc = term if h_acc is None else df.add(h_acc, term)
         wpow = wpow * w_ch % P
-    h_open_commit = params.commit(h_open)
+    h_open_coeffs = dom.lagrange_to_coeff(h_acc)
+    h_open_commit = params.commit_dev(h_open_coeffs, df)
     tr.write_point(h_open_commit)
 
     u_ch = tr.squeeze_challenge()
 
-    # L = sum_j w^j Z_{T\S_j}(u) (g_j - r_j(u)) - Z_T(u) H
+    # L = sum_j w^j Z_{T\S_j}(u) (g_j - r_j(u)) - Z_T(u) H   (on H)
     all_points = sorted({pts[pl] for plan_pts, _ in groups for pl in plan_pts})
     zt_u = poly_eval(vanishing_poly(all_points), u_ch)
-    L = [0] * n
+    L_acc = None
     wpow = 1
-    for (pts_labels, _), g, ge in zip(groups, g_polys, g_evals):
+    for (pts_labels, _), gdev, r in zip(groups, g_eval_forms, r_coeffs_per_group):
         pvals = [pts[pl] for pl in pts_labels]
         others = [pt for pt in all_points if pt not in pvals]
         z_other_u = poly_eval(vanishing_poly(others), u_ch)
-        r = lagrange_interpolate(pvals, [ge[pl] for pl in pts_labels])
         r_u = poly_eval(r, u_ch)
         scale = wpow * z_other_u % P
-        for d, cv in enumerate(g):
-            L[d] = (L[d] + scale * cv) % P
-        L[0] = (L[0] - scale * r_u) % P
+        term = df.sub(gdev, dom.const_h(r_u))
+        term = df.mont_mul(term, dom.pack([scale])[0])
+        L_acc = term if L_acc is None else df.add(L_acc, term)
         wpow = wpow * w_ch % P
-    for d, cv in enumerate(h_open):
-        L[d] = (L[d] - zt_u * cv) % P
-    # Q = L / (X - u)
-    Q = divide_by_linear(L, u_ch)
-    q_commit = params.commit(Q)
+    L_acc = df.sub(L_acc, df.mont_mul(h_acc, dom.pack([zt_u])[0]))
+    # Q = L / (X - u), pointwise on H (u not in H)
+    inv_xu = df.batch_inv(df.sub(W, dom.const_h(u_ch)))
+    q_evals = df.mont_mul(L_acc, inv_xu)
+    q_coeffs = dom.lagrange_to_coeff(q_evals)
+    q_commit = params.commit_dev(q_coeffs, df)
     tr.write_point(q_commit)
 
+    _t = _stage("shplonk", _t)
     return tr.finalize()
 
 
@@ -473,7 +546,9 @@ def _compute_quotient(dom, vk, pk, poly_cache, instance_vals, beta, gamma, y, u)
 
     h_ext = dom.divide_by_vanishing(state["acc"])
     h_coeffs_dev = dom.extended_to_coeff(h_ext)
-    h_coeffs = dom.unpack(h_coeffs_dev)
-    # degree must be < 3n
-    assert all(c == 0 for c in h_coeffs[3 * n :]), "quotient degree overflow"
-    return h_coeffs[: 3 * n]
+    # degree must be < 3n (device check, no host unpack of 4n coeffs)
+    import jax.numpy as jnp
+
+    top_zero = bool(jnp.all(h_coeffs_dev[3 * n :] == 0))
+    assert top_zero, "quotient degree overflow"
+    return h_coeffs_dev[: 3 * n]

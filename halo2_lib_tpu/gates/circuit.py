@@ -84,6 +84,8 @@ class PhysicalCircuit:
     # instance values per column
     instances: list[list[int]]
     witness_gen_only: bool = False
+    # resolved dynamic lookups (core/dyn_lookup.py), checked by MockProver
+    dyn_lookups: list = dc_field(default_factory=list)
 
     def num_rows(self) -> int:
         return 1 << self.params.k
@@ -103,6 +105,8 @@ class BaseCircuitBuilder:
         ]
         self.config_params = BaseCircuitParams()
         self.assigned_instances: list[list[AssignedValue]] = []
+        # optional BasicDynLookupManager (core/dyn_lookup.py)
+        self.dyn_lookup_manager = None
 
     # --- constructors --------------------------------------------------------
     @staticmethod
@@ -358,6 +362,10 @@ class BaseCircuitBuilder:
                         (("advice", 0, src[0], src[1]), ("instance", 0, col_idx, i))
                     )
 
+        dyn_lookups = (
+            self.dyn_lookup_manager.resolve(F) if self.dyn_lookup_manager is not None else []
+        )
+
         return PhysicalCircuit(
             params=params,
             field=F,
@@ -369,6 +377,7 @@ class BaseCircuitBuilder:
             copies=copies,
             instances=instances,
             witness_gen_only=wg_only,
+            dyn_lookups=dyn_lookups,
         )
 
 

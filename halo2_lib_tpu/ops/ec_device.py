@@ -79,64 +79,90 @@ class DeviceCurve:
         return (z, z, z)
 
     # --- point ops (branch-free) --------------------------------------------
+    # Independent Montgomery multiplies are STACKED into single batched calls
+    # (jnp.stack on a new leading axis): the field multiply dominates both the
+    # XLA graph size (compile time scales with op count) and runtime, so an
+    # EC add is 6 montmul calls, a double 3 — not 25 scalar-scheduled ones.
+
     def _double(self, P):
-        """dbl-2009-l (a = 0): 2M + 5S."""
+        """dbl-2009-l (a = 0): 2M + 5S in 3 stacked montmul calls."""
         df = self.df
         X, Y, Z = P
-        A = df._mont_mul(X, X)
-        B = df._mont_mul(Y, Y)
-        C = df._mont_mul(B, B)
-        t = df._add(X, B)
-        D = df._sub(df._sub(df._mont_mul(t, t), A), C)
-        D = df._add(D, D)
+        st = jnp.stack
+        r1 = df._mont_mul(st([X, Y]), st([X, Y]))
+        A, B = r1[0], r1[1]
         E = df._add(df._add(A, A), A)
-        F_ = df._mont_mul(E, E)
+        tXB = df._add(X, B)
+        r2 = df._mont_mul(st([B, tXB, E]), st([B, tXB, E]))
+        C, tXB2, F_ = r2[0], r2[1], r2[2]
+        D = df._sub(df._sub(tXB2, A), C)
+        D = df._add(D, D)
         X3 = df._sub(F_, df._add(D, D))
-        C8 = df._add(df._add(df._add(C, C), df._add(C, C)), df._add(df._add(C, C), df._add(C, C)))
-        Y3 = df._sub(df._mont_mul(E, df._sub(D, X3)), C8)
-        Z3 = df._add(df._mont_mul(Y, Z), df._mont_mul(Y, Z))
+        r3 = df._mont_mul(st([E, Y]), st([df._sub(D, X3), Z]))
+        C4 = df._add(df._add(C, C), df._add(C, C))
+        Y3 = df._sub(r3[0], df._add(C4, C4))
+        Z3 = df._add(r3[1], r3[1])
         return (X3, Y3, Z3)
 
     def _add(self, P1, P2):
-        """Complete add via add-2007-bl + case selects (11M + 5S + branches)."""
+        """Complete add: add-2007-bl + doubling branch + case selects, with all
+        independent multiplies batched (6 stacked montmul calls total)."""
         df = self.df
         X1, Y1, Z1 = P1
         X2, Y2, Z2 = P2
-        Z1Z1 = df._mont_mul(Z1, Z1)
-        Z2Z2 = df._mont_mul(Z2, Z2)
-        U1 = df._mont_mul(X1, Z2Z2)
-        U2 = df._mont_mul(X2, Z1Z1)
-        S1 = df._mont_mul(df._mont_mul(Y1, Z2), Z2Z2)
-        S2 = df._mont_mul(df._mont_mul(Y2, Z1), Z1Z1)
-        H = df._sub(U2, U1)
-        r = df._sub(S2, S1)
+        st = jnp.stack
 
-        HH = df._mont_mul(H, H)
-        I = df._add(df._add(HH, HH), df._add(HH, HH))
-        J = df._mont_mul(H, I)
-        V = df._mont_mul(U1, I)
-        r2 = df._add(r, r)
-        X3 = df._sub(df._sub(df._mont_mul(r2, r2), J), df._add(V, V))
-        S1J = df._mont_mul(S1, J)
-        Y3 = df._sub(df._mont_mul(r2, df._sub(V, X3)), df._add(S1J, S1J))
+        # R1: squares
+        r1 = df._mont_mul(st([Z1, Z2, X1, Y1]), st([Z1, Z2, X1, Y1]))
+        Z1Z1, Z2Z2, A, B = r1[0], r1[1], r1[2], r1[3]
+        # R2: cross products (+ doubling-branch C, YZ)
+        r2 = df._mont_mul(st([X1, X2, Y1, Y2, B, Y1]), st([Z2Z2, Z1Z1, Z2, Z1, B, Z1]))
+        U1, U2, t1, t2, C, YZ = (r2[i] for i in range(6))
+        # R3: S1, S2 (+ doubling (X1+B)^2)
+        tXB = df._add(X1, B)
+        r3 = df._mont_mul(st([t1, t2, tXB]), st([Z2Z2, Z1Z1, tXB]))
+        S1, S2, tXB2 = r3[0], r3[1], r3[2]
+
+        H = df._sub(U2, U1)
+        r_ = df._sub(S2, S1)
+        rr = df._add(r_, r_)
+        E = df._add(df._add(A, A), A)
+        D = df._sub(df._sub(tXB2, A), C)
+        D = df._add(D, D)
         zz = df._add(Z1, Z2)
-        Z3 = df._mont_mul(df._sub(df._sub(df._mont_mul(zz, zz), Z1Z1), Z2Z2), H)
+        # R4: HH, F = E^2, rr^2, (Z1+Z2)^2
+        r4 = df._mont_mul(st([H, E, rr, zz]), st([H, E, rr, zz]))
+        HH, F_, rr2, zz2 = r4[0], r4[1], r4[2], r4[3]
+        I = df._add(df._add(HH, HH), df._add(HH, HH))
+        X3d = df._sub(F_, df._add(D, D))
+        # R5: J = H*I, V = U1*I, Z3 = (zz2 - Z1Z1 - Z2Z2)*H, Ed = E*(D - X3d)
+        zzsub = df._sub(df._sub(zz2, Z1Z1), Z2Z2)
+        r5 = df._mont_mul(st([H, U1, zzsub, E]), st([I, I, H, df._sub(D, X3d)]))
+        J, V, Z3, Ed = r5[0], r5[1], r5[2], r5[3]
+        X3 = df._sub(df._sub(rr2, J), df._add(V, V))
+        # R6: rr*(V - X3), S1*J
+        r6 = df._mont_mul(st([rr, S1]), st([df._sub(V, X3), J]))
+        S1J = r6[1]
+        Y3 = df._sub(r6[0], df._add(S1J, S1J))
+        # doubling-branch outputs
+        C4 = df._add(df._add(C, C), df._add(C, C))
+        Y3d = df._sub(Ed, df._add(C4, C4))
+        Z3d = df._add(YZ, YZ)
 
         # special cases
         p1_inf = df.is_zero(Z1)
         p2_inf = df.is_zero(Z2)
         h_zero = df.is_zero(H)
-        r_zero = df.is_zero(r)
-        dbl = self._double(P1)
+        r_zero = df.is_zero(r_)
         is_double = h_zero & r_zero & ~p1_inf & ~p2_inf
         is_identity_out = h_zero & ~r_zero & ~p1_inf & ~p2_inf
 
         def sel(c, a, b):
             return jnp.where(c[..., None], a, b)
 
-        X3 = sel(is_double, dbl[0], X3)
-        Y3 = sel(is_double, dbl[1], Y3)
-        Z3 = sel(is_double, dbl[2], Z3)
+        X3 = sel(is_double, X3d, X3)
+        Y3 = sel(is_double, Y3d, Y3)
+        Z3 = sel(is_double, Z3d, Z3)
         Z3 = sel(is_identity_out, jnp.zeros_like(Z3), Z3)
         # P1 = O -> P2 ; P2 = O -> P1
         X3 = sel(p2_inf, X1, sel(p1_inf, X2, X3))
@@ -170,17 +196,23 @@ class DeviceCurve:
 
     # --- MSM -------------------------------------------------------------------
     def pack_scalars(self, scalars: list[int], window_bits: int) -> jax.Array:
-        """Scalars -> int32[num_windows, n] window digits."""
+        """Scalars -> int32[num_windows, n] window digits (vectorized)."""
         r = self.curve.scalar.p
         nbits = r.bit_length()
         num_windows = -(-nbits // window_bits)
-        mask = (1 << window_bits) - 1
-        out = np.zeros((num_windows, len(scalars)), dtype=np.int32)
-        for i, s in enumerate(scalars):
-            s = s % r
-            for w in range(num_windows):
-                out[w, i] = (s >> (w * window_bits)) & mask
-        return jnp.asarray(out)
+        n = len(scalars)
+        nbytes = (num_windows * window_bits + 7) // 8
+        buf = b"".join((int(s) % r).to_bytes(nbytes, "little") for s in scalars)
+        bytes_arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, nbytes)
+        if window_bits == 8:
+            out = bytes_arr[:, :num_windows].T.astype(np.int32)
+        else:
+            # generic path: expand to bits then regroup
+            bits = np.unpackbits(bytes_arr, axis=1, bitorder="little")
+            bits = bits[:, : num_windows * window_bits].reshape(n, num_windows, window_bits)
+            weights = (1 << np.arange(window_bits)).astype(np.int32)
+            out = (bits * weights).sum(axis=2).T.astype(np.int32)
+        return jnp.asarray(np.ascontiguousarray(out))
 
     def msm(self, points, scalars: list[int], window_bits: int = 8):
         """Full Pippenger MSM; host points/ints in, Jacobian point out."""
@@ -244,7 +276,13 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
         bZ = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sz)
         return bX[:nbuckets], bY[:nbuckets], bZ[:nbuckets]
 
-    bX, bY, bZ = jax.vmap(window_buckets)(digits)  # [W, nbuckets, 16]
+    # Windows vmap'ed when the conv temporaries fit (u32[W, n, 512] ~ 2KB per
+    # point-window); sequential lax.map otherwise to stay inside HBM at 2^15+
+    # points x 32 windows.
+    if num_windows * n <= (1 << 17):
+        bX, bY, bZ = jax.vmap(window_buckets)(digits)  # [W, nbuckets, 16]
+    else:
+        bX, bY, bZ = jax.lax.map(window_buckets, digits)
 
     # suffix-sum trick, vectorized across windows:
     # acc_b = sum_{j >= b} S_j ; window_total = sum_b acc_b

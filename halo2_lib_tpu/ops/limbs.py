@@ -179,12 +179,19 @@ class DeviceField:
     def _double(self, a: jax.Array) -> jax.Array:
         return self._add(a, a)
 
+    # Every value in this convolution is < 2^21 < 2^24, so float32
+    # accumulation is EXACT. f32 hits the fast paths on every backend: Eigen
+    # sgemm on CPU (the u32 dot is ~100x slower there) and the MXU on TPU
+    # (with Precision.HIGHEST, which is f32-faithful). Set False to force the
+    # integer VPU formulation.
+    _CONV_IN_F32 = True
+
     @staticmethod
     def _conv_cols(a: jax.Array, b: jax.Array, conv_mat: jax.Array) -> jax.Array:
         """Product columns cols[k] = sum_{i+j=k} a_i b_j split into lo/hi halves.
 
-        One batched uint32 matmul against a 0/1 anti-diagonal matrix — no
-        scatters, so the XLA graph stays tiny and the op is MXU-friendly.
+        One batched matmul against a 0/1 anti-diagonal matrix — no scatters,
+        so the XLA graph stays tiny and the op is MXU/GEMM-friendly.
         Output: uint32[..., 2*N_LIMBS + 1] with entries < 2^21.
         """
         prod = a[..., :, None] * b[..., None, :]  # [..., 16, 16], exact in u32
@@ -193,6 +200,14 @@ class DeviceField:
              (prod >> LIMB_BITS).reshape(*prod.shape[:-2], N_LIMBS * N_LIMBS)],
             axis=-1,
         )
+        if DeviceField._CONV_IN_F32:
+            out = jnp.dot(
+                lohi.astype(jnp.float32),
+                conv_mat.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return out.astype(jnp.uint32)
         return lohi @ conv_mat
 
     @staticmethod
@@ -285,30 +300,25 @@ class DeviceField:
         return self._pow_impl(a, bits)
 
     def _batch_inv(self, a: jax.Array) -> jax.Array:
-        """Montgomery batch inversion along the leading axis: one inv total.
+        """Montgomery batch inversion along the leading axis: one Fermat inv +
+        two log-depth associative product scans (TPU-friendly, no sequential
+        O(n) chain).
 
-        Zero entries are passed through as zero (same convention as
-        halo2curves' batch_invert_assume_nonzero variants with zero-skip).
+        inv(a_i) = prefix_{i-1} * suffix_{i+1} * inv(total).
+        Zero entries are passed through as zero.
         """
-        n = a.shape[0]
         is_zero = self.is_zero(a)
         one = jnp.broadcast_to(jnp.asarray(self.ONE_MONT), a.shape)
         safe = jnp.where(is_zero[..., None], one, a)
 
-        def scan_fwd(carry, x):
-            nxt = self._mont_mul(carry, x)
-            return nxt, carry  # prefix product EXCLUSIVE
-
-        total, prefix = jax.lax.scan(scan_fwd, one[0], safe)
+        prefix_inc = jax.lax.associative_scan(self._mont_mul, safe)  # inclusive
+        suffix_inc = jax.lax.associative_scan(self._mont_mul, safe, reverse=True)
+        total = prefix_inc[-1]
         inv_total = self._inv(total)
-
-        def scan_bwd(carry, xs):
-            x, pre = xs
-            inv_x = self._mont_mul(carry, pre)
-            nxt = self._mont_mul(carry, x)
-            return nxt, inv_x
-
-        _, invs = jax.lax.scan(scan_bwd, inv_total, (safe, prefix), reverse=True)
+        # exclusive prefix / suffix
+        prefix_exc = jnp.concatenate([one[:1], prefix_inc[:-1]], axis=0)
+        suffix_exc = jnp.concatenate([suffix_inc[1:], one[:1]], axis=0)
+        invs = self._mont_mul(self._mont_mul(prefix_exc, suffix_exc), inv_total)
         return jnp.where(is_zero[..., None], jnp.zeros_like(a), invs)
 
     # --- predicates ---------------------------------------------------------------

@@ -99,10 +99,12 @@ def sharded_msm(dc: DeviceCurve, points, scalars: list[int], mesh: Mesh):
         gx = jax.lax.all_gather(x[0], axis)  # [ndev, 16]
         gy = jax.lax.all_gather(y[0], axis)
         gz = jax.lax.all_gather(z[0], axis)
-        # combine the ndev partials (replicated work, tiny)
-        px, py, pz = gx[0], gy[0], gz[0]
-        for d in range(1, gx.shape[0]):
-            px, py, pz = dc._add((px, py, pz), (gx[d], gy[d], gz[d]))
+        # combine the ndev partials (replicated work, tiny; fori keeps the
+        # EC-add graph instantiated once)
+        def comb(d, p):
+            return dc._add(p, (gx[d], gy[d], gz[d]))
+
+        px, py, pz = jax.lax.fori_loop(1, gx.shape[0], comb, (gx[0], gy[0], gz[0]))
         return jnp.stack([px, py, pz])[None]
 
     # X/Y/Z: [n, 16] -> add leading singleton so in_spec can shard axis 1

@@ -1,0 +1,74 @@
+"""Randomized negative tests: prank a random witness cell of each GateChip /
+RangeChip op and assert the MockProver rejects (reference:
+gates/tests/neg_prop.rs:131-266)."""
+
+import random
+
+import pytest
+
+from halo2_lib_tpu.backend.mock import MockProver
+from halo2_lib_tpu.core.cells import Constant, Existing, Witness
+from halo2_lib_tpu.gates.circuit import BaseCircuitBuilder, CircuitBuilderStage
+from halo2_lib_tpu.utils.fields import FR_BN254
+
+P = FR_BN254.p
+
+
+def run_pranked(f, seed, k=10, lookup_bits=8):
+    """Build circuit, prank one random non-constant advice cell, expect reject."""
+    rng = random.Random(seed)
+    builder = BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(k)
+    builder.set_lookup_bits(lookup_bits)
+    rc = builder.range_chip()
+    ctx = builder.main(0)
+    f(ctx, rc, rng)
+    # prank a random cell
+    n_cells = len(ctx.advice)
+    assert n_cells > 0
+    pos = rng.randrange(n_cells)
+    from halo2_lib_tpu.core.cells import Rational
+
+    old = ctx.advice[pos]
+    bump = rng.randrange(1, P)
+    ctx.advice[pos] = ((old if isinstance(old, int) else old.evaluate(FR_BN254)) + bump) % P
+    builder.calculate_params(minimum_rows=9)
+    errors = MockProver.run(k, builder).verify()
+    return bool(errors)
+
+
+OPS = {
+    "add": lambda ctx, rc, rng: rc.gate.add(
+        ctx, Witness(rng.randrange(P)), Witness(rng.randrange(P))
+    ),
+    "mul": lambda ctx, rc, rng: rc.gate.mul(
+        ctx, Witness(rng.randrange(P)), Witness(rng.randrange(P))
+    ),
+    "mul_add": lambda ctx, rc, rng: rc.gate.mul_add(
+        ctx, Witness(rng.randrange(P)), Witness(rng.randrange(P)), Witness(rng.randrange(P))
+    ),
+    "inner_product": lambda ctx, rc, rng: rc.gate.inner_product(
+        ctx,
+        [Witness(rng.randrange(P)) for _ in range(5)],
+        [Witness(rng.randrange(P)) for _ in range(5)],
+    ),
+    "select": lambda ctx, rc, rng: rc.gate.select(
+        ctx, Witness(rng.randrange(P)), Witness(rng.randrange(P)), Witness(rng.randrange(2))
+    ),
+    "is_zero": lambda ctx, rc, rng: rc.gate.is_zero(ctx, ctx.load_witness(rng.randrange(P))),
+    "num_to_bits": lambda ctx, rc, rng: rc.gate.num_to_bits(
+        ctx, ctx.load_witness(rng.randrange(1 << 16)), 16
+    ),
+    "range_check": lambda ctx, rc, rng: rc.range_check(
+        ctx, ctx.load_witness(rng.randrange(1 << 32)), 32
+    ),
+    "check_less_than": lambda ctx, rc, rng: rc.check_less_than(
+        ctx, Witness(5), Witness(100), 8
+    ),
+}
+
+
+@pytest.mark.parametrize("op", sorted(OPS))
+@pytest.mark.parametrize("trial", range(3))
+def test_pranked_op_rejected(op, trial):
+    rejected = run_pranked(OPS[op], seed=hash((op, trial)) & 0xFFFF)
+    assert rejected, f"pranked {op} circuit still satisfied (trial {trial})"
