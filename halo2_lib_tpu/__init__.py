@@ -42,3 +42,29 @@ def _enable_compilation_cache() -> None:
 
 
 _enable_compilation_cache()
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports of the main user-facing API."""
+    _exports = {
+        "BaseCircuitBuilder": ("halo2_lib_tpu.gates.circuit", "BaseCircuitBuilder"),
+        "RangeCircuitBuilder": ("halo2_lib_tpu.gates.circuit", "RangeCircuitBuilder"),
+        "BaseCircuitParams": ("halo2_lib_tpu.gates.circuit", "BaseCircuitParams"),
+        "CircuitBuilderStage": ("halo2_lib_tpu.gates.circuit", "CircuitBuilderStage"),
+        "MockProver": ("halo2_lib_tpu.backend.mock", "MockProver"),
+        "GateChip": ("halo2_lib_tpu.gates.flex_gate", "GateChip"),
+        "RangeChip": ("halo2_lib_tpu.gates.range", "RangeChip"),
+        "Context": ("halo2_lib_tpu.core.context", "Context"),
+        "gen_srs": ("halo2_lib_tpu.backend.kzg", "gen_srs"),
+        "ParamsKZG": ("halo2_lib_tpu.backend.kzg", "ParamsKZG"),
+        "keygen": ("halo2_lib_tpu.backend.keygen", "keygen"),
+        "create_proof": ("halo2_lib_tpu.backend.prover", "create_proof"),
+        "verify_proof": ("halo2_lib_tpu.backend.verifier", "verify_proof"),
+        "base_test": ("halo2_lib_tpu.utils.testing", "base_test"),
+    }
+    if name in _exports:
+        import importlib
+
+        module, attr = _exports[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'halo2_lib_tpu' has no attribute {name!r}")

@@ -134,7 +134,9 @@ class ParamsKZG:
         dc = self.device_curve()
         P = self.packed_bases()
         canon = fr_df.from_mont(coeffs_dev)
-        limbs = np.asarray(_jax.device_get(canon)).astype("<u2")  # [m, 16] u16
+        limbs = np.ascontiguousarray(
+            np.asarray(_jax.device_get(canon)).astype("<u2")
+        )  # [m, 16] u16
         m = limbs.shape[0]
         byts = limbs.view(np.uint8).reshape(m, 32)  # canonical LE bytes
         nbits = 254

@@ -276,13 +276,24 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
         bZ = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sz)
         return bX[:nbuckets], bY[:nbuckets], bZ[:nbuckets]
 
-    # Windows vmap'ed when the conv temporaries fit (u32[W, n, 512] ~ 2KB per
-    # point-window); sequential lax.map otherwise to stay inside HBM at 2^15+
-    # points x 32 windows.
+    # Window batching: vmap everything when the conv temporaries fit
+    # (u32[W, n, 512] ~ 2KB per point-window); otherwise sequential lax.map
+    # over GROUPS of vmap'ed windows — 4 at a time keeps HBM bounded at 2^15+
+    # points while cutting the sequential kernel-launch chain 4x.
     if num_windows * n <= (1 << 17):
         bX, bY, bZ = jax.vmap(window_buckets)(digits)  # [W, nbuckets, 16]
     else:
-        bX, bY, bZ = jax.lax.map(window_buckets, digits)
+        group = 1
+        for g in (4, 2):
+            if num_windows % g == 0 and g * n <= (1 << 18):
+                group = g
+                break
+        if group > 1:
+            grouped = digits.reshape(num_windows // group, group, n)
+            gb = jax.lax.map(jax.vmap(window_buckets), grouped)
+            bX, bY, bZ = (t.reshape(num_windows, nbuckets, N_LIMBS) for t in gb)
+        else:
+            bX, bY, bZ = jax.lax.map(window_buckets, digits)
 
     # suffix-sum trick, vectorized across windows:
     # acc_b = sum_{j >= b} S_j ; window_total = sum_b acc_b
