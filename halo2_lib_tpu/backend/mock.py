@@ -42,8 +42,25 @@ class MockProver:
         n = c.num_rows()
 
         # 1. vertical gate: q * (a + b*c - d) == 0
+        # Optional native C column checker (halo2_lib_tpu.native). With values
+        # held as Python ints the pack/unpack boundary dominates, so this is
+        # opt-in until the context stores limbs natively (ROADMAP.md item 2);
+        # a failing or unavailable native check falls back to the Python scan.
+        import os as _os
+
+        nf = None
+        if _os.environ.get("HALO2_NATIVE_MOCK") == "1":
+            from ..native import NativeField
+
+            nf = NativeField(p)
+            if not nf.available:
+                nf = None
         for phase_idx, fp in enumerate(c.phases):
             for col_idx, (vals, sels) in enumerate(zip(fp.columns, fp.selectors)):
+                if nf is not None:
+                    first_bad = nf.check_gate_column(vals, sels)
+                    if first_bad == -1:
+                        continue
                 L = len(vals)
                 for r, q in enumerate(sels):
                     if not q:

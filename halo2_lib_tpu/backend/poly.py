@@ -118,6 +118,29 @@ class Domain:
         one = self.pack([c])[0]
         return jnp.broadcast_to(one, (self.n, N_LIMBS))
 
+    # --- jitted scan helpers (eager associative_scan dispatches every level's
+    # primitives one by one — catastrophic on remote backends) ----------------
+    def prefix_prod(self, x: jax.Array) -> jax.Array:
+        """Inclusive Montgomery prefix product along axis 0 (jitted)."""
+        if not hasattr(self, "_prefix_prod_jit"):
+            self._prefix_prod_jit = jax.jit(
+                lambda v: jax.lax.associative_scan(self.df._mont_mul, v)
+            )
+        return self._prefix_prod_jit(x)
+
+    def pows_of(self, x_mont: jax.Array, m: int) -> jax.Array:
+        """[m, 16] powers 1, x, ..., x^{m-1} from a Montgomery scalar (jitted)."""
+        if not hasattr(self, "_pows_jit"):
+            one = jnp.asarray(self.df.ONE_MONT)
+
+            def _pows(xm, m):
+                base = jnp.broadcast_to(xm, (m, 16))
+                stacked = jnp.concatenate([one[None], base[:-1]], axis=0)
+                return jax.lax.associative_scan(self.df._mont_mul, stacked)
+
+            self._pows_jit = jax.jit(_pows, static_argnums=1)
+        return self._pows_jit(x_mont, m)
+
     # --- device scalar-power helpers ------------------------------------------------
     def omega_pows_dev(self) -> jax.Array:
         """[n, 16] Montgomery values of the domain points w^i (cached)."""
@@ -130,12 +153,8 @@ class Domain:
         return self._omega_pows_dev
 
     def pows_dev(self, x: int, m: int) -> jax.Array:
-        """[m, 16] powers 1, x, ..., x^{m-1} via a log-depth product scan."""
-        xm = self.pack([x])[0]
-        base = jnp.broadcast_to(xm, (m, 16))
-        one = jnp.broadcast_to(jnp.asarray(self.df.ONE_MONT), (1, 16))
-        stacked = jnp.concatenate([one, base[:-1]], axis=0)
-        return jax.lax.associative_scan(self.df._mont_mul, stacked)
+        """[m, 16] powers 1, x, ..., x^{m-1} via a jitted log-depth scan."""
+        return self.pows_of(self.pack([x])[0], m)
 
     def eval_many_at(self, coeff_stack: jax.Array, x: int) -> list[int]:
         """Evaluate a stack of coeff polys [m, n, 16] at scalar x; host ints out."""

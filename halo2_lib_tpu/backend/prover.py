@@ -225,7 +225,7 @@ def create_proof(
         one_h = dom.const_h(1)
         mask = (row_idx < u)[:, None]
         ratio = jnp.where(mask, ratio, one_h)
-        pref = jax.lax.associative_scan(df._mont_mul, ratio)
+        pref = dom.prefix_prod(ratio)
         z = jnp.concatenate([one_h[:1], pref[:-1]], axis=0)
         blind = dom.pack([rng.randrange(P) for _ in range(n - u - 1)])
         return z.at[u + 1 :].set(blind)
