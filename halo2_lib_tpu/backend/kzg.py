@@ -125,34 +125,33 @@ class ParamsKZG:
     def commit_dev(self, coeffs_dev, fr_df, window_bits: int = 8):
         """Commit from a device Montgomery-limb coeff tensor [m, 16], m <= n.
 
-        Converts out of Montgomery form on device, then extracts window digits
-        from the canonical little-endian limb bytes with numpy (no Python-int
-        round trip).
+        Window digits are extracted on device from the canonical 16-bit limbs
+        (one shift+mask per window) — no host round trip before the MSM.
+        Requires window_bits dividing 16.
         """
-        import jax as _jax
-
+        assert 16 % window_bits == 0, "window_bits must divide the limb width"
         dc = self.device_curve()
         P = self.packed_bases()
-        canon = fr_df.from_mont(coeffs_dev)
-        limbs = np.ascontiguousarray(
-            np.asarray(_jax.device_get(canon)).astype("<u2")
-        )  # [m, 16] u16
-        m = limbs.shape[0]
-        byts = limbs.view(np.uint8).reshape(m, 32)  # canonical LE bytes
-        nbits = 254
-        num_windows = -(-nbits // window_bits)
-        if window_bits == 8:
-            digits = byts[:, :num_windows].T.astype(np.int32)
-        else:
-            bits = np.unpackbits(byts, axis=1, bitorder="little")
-            bits = bits[:, : num_windows * window_bits].reshape(m, num_windows, window_bits)
-            weights = (1 << np.arange(window_bits)).astype(np.int32)
-            digits = (bits * weights).sum(axis=2).T.astype(np.int32)
+        m = coeffs_dev.shape[0]
+        num_windows = -(-254 // window_bits)
+
+        if not hasattr(self, "_digits_jit"):
+            per_limb = 16 // window_bits
+            mask = (1 << window_bits) - 1
+
+            def _digits(canon):
+                outs = []
+                for w in range(num_windows):
+                    limb = canon[:, w // per_limb]
+                    shift = (w % per_limb) * window_bits
+                    outs.append(((limb >> shift) & mask).astype(jnp.int32))
+                return jnp.stack(outs)  # [W, m]
+
+            self._digits_jit = jax.jit(lambda c: _digits(fr_df.from_mont(c)))
+        digits = self._digits_jit(coeffs_dev)
         if m < self.n:
-            digits = np.concatenate(
-                [digits, np.zeros((num_windows, self.n - m), dtype=np.int32)], axis=1
-            )
-        out = msm_device(dc, P, jnp.asarray(np.ascontiguousarray(digits)), window_bits)
+            digits = jnp.pad(digits, ((0, 0), (0, self.n - m)))
+        out = msm_device(dc, P, digits, window_bits)
         return dc.unpack_points(out)[0]
 
     def commit_many(self, polys: list[list[int]], window_bits: int = 8) -> list:
