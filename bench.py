@@ -87,6 +87,40 @@ def bench_ecdsa(k: int) -> dict:
     }
 
 
+def bench_msm(log_n: int = 16) -> dict:
+    """bn254 G1 MSM throughput (BASELINE.json headline kernel)."""
+    import random
+
+    from halo2_lib_tpu.ops.ec_device import DeviceCurve, msm_device
+    from halo2_lib_tpu.ops.limbs import DeviceField
+    from halo2_lib_tpu.utils.curves import BN254_G1
+
+    rng = random.Random(12)
+    n = 1 << log_n
+    dc = DeviceCurve(DeviceField(BN254_G1.base), BN254_G1)
+    # n distinct pseudo-random points without n host scalar-muls: repeat a base
+    # window of real points (bases don't affect MSM arithmetic cost)
+    base_pts = [BN254_G1.random_point(rng) for _ in range(256)]
+    pts = [base_pts[i % 256] for i in range(n)]
+    scalars = [rng.randrange(BN254_G1.scalar.p) for _ in range(n)]
+    P = dc.pack_points(pts)
+    digits = dc.pack_scalars(scalars, 8)
+    out = msm_device(dc, P, digits, 8)
+    out[0].block_until_ready()  # compile
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = msm_device(dc, P, digits, 8)
+    out[0].block_until_ready()
+    dt = (time.time() - t0) / iters
+    return {
+        "metric": f"msm_2^{log_n}_throughput",
+        "value": round(n / dt),
+        "unit": "points/s",
+        "vs_baseline": 0.0,
+    }
+
+
 def bench_ntt(log_n: int = 20) -> dict:
     import jax
 
@@ -118,6 +152,8 @@ def main():
     try:
         if mode == "ntt":
             result = bench_ntt()
+        elif mode == "msm":
+            result = bench_msm(int(os.environ.get("HALO2_BENCH_MSM_LOGN", "16")))
         else:
             result = bench_ecdsa(k)
     except Exception as e:  # noqa: BLE001 - always emit a benchmark point

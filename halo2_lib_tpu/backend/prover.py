@@ -31,7 +31,9 @@ _DEBUG = _os.environ.get("HALO2_PROVER_DEBUG") == "1"
 def _stage(label: str, t0: float) -> float:
     now = _time.time()
     if _DEBUG:
-        print(f"[prover] {label}: {now - t0:.2f}s", flush=True)
+        import sys as _sys
+
+        print(f"[prover] {label}: {now - t0:.2f}s", file=_sys.stderr, flush=True)
     return now
 
 from ..gates.circuit import BaseCircuitBuilder, PhysicalCircuit
