@@ -179,21 +179,25 @@ class DeviceField:
     def _double(self, a: jax.Array) -> jax.Array:
         return self._add(a, a)
 
-    # Every value in this convolution is < 2^21 < 2^24, so float32
-    # accumulation is EXACT. f32 hits the fast paths on every backend: Eigen
-    # sgemm on CPU (the u32 dot is ~100x slower there) and the MXU on TPU
-    # (with Precision.HIGHEST, which is f32-faithful). Set False to force the
-    # integer VPU formulation.
-    _CONV_IN_F32 = True
+    # Convolution strategy. "f32 matmul" (values < 2^21 < 2^24 so f32
+    # accumulation is exact) hits Eigen sgemm on CPU — the u32 dot there is
+    # ~100x slower. On TPU the f32 HIGHEST dot falls off the fast MXU path,
+    # so the default there is "shift-accumulate": 16 shifted multiply-adds in
+    # pure u32 on the VPU (no casts, no giant product tensor).
+    _CONV_IN_F32 = jax.default_backend() == "cpu"
+    _CONV_SHIFT_ACC = jax.default_backend() != "cpu"
 
     @staticmethod
     def _conv_cols(a: jax.Array, b: jax.Array, conv_mat: jax.Array) -> jax.Array:
-        """Product columns cols[k] = sum_{i+j=k} a_i b_j split into lo/hi halves.
+        """Product columns cols[k] = sum_{i+j=k} a_i b_j of two 16-limb values.
 
         One batched matmul against a 0/1 anti-diagonal matrix — no scatters,
         so the XLA graph stays tiny and the op is MXU/GEMM-friendly.
-        Output: uint32[..., 2*N_LIMBS + 1] with entries < 2^21.
+        Output: uint32[..., 2*N_LIMBS + 1]; entries < 2^21 (u16 paths) or
+        < 2^31 (bf16 byte path).
         """
+        if DeviceField._CONV_SHIFT_ACC:
+            return DeviceField._conv_cols_shift(a, b)
         prod = a[..., :, None] * b[..., None, :]  # [..., 16, 16], exact in u32
         lohi = jnp.concatenate(
             [(prod & MASK).reshape(*prod.shape[:-2], N_LIMBS * N_LIMBS),
@@ -209,6 +213,23 @@ class DeviceField:
             )
             return out.astype(jnp.uint32)
         return lohi @ conv_mat
+
+    @staticmethod
+    def _conv_cols_shift(a: jax.Array, b: jax.Array) -> jax.Array:
+        """Shift-accumulate convolution: cols += shift_i(a_i * b), lo/hi split.
+
+        16 iterations of a broadcast multiply + two padded adds, all u32 on
+        the VPU. Column sums stay < 2^21.
+        """
+        ndim_pad = [(0, 0)] * (a.ndim - 1)
+        cols = jnp.zeros(a.shape[:-1] + (2 * N_LIMBS + 1,), dtype=jnp.uint32)
+        for i in range(N_LIMBS):
+            prod = a[..., i : i + 1] * b  # [..., 16] exact u32
+            lo = prod & MASK
+            hi = prod >> LIMB_BITS
+            cols = cols + jnp.pad(lo, ndim_pad + [(i, N_LIMBS + 1 - i)])
+            cols = cols + jnp.pad(hi, ndim_pad + [(i + 1, N_LIMBS - i)])
+        return cols
 
     @staticmethod
     def _normalize_low(cols: jax.Array, k: int):
