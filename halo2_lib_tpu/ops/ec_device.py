@@ -276,11 +276,12 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
         bZ = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sz)
         return bX[:nbuckets], bY[:nbuckets], bZ[:nbuckets]
 
-    # Window batching: vmap everything when the conv temporaries fit
-    # (u32[W, n, 512] ~ 2KB per point-window); otherwise sequential lax.map
-    # over GROUPS of vmap'ed windows — 4 at a time keeps HBM bounded at 2^15+
-    # points while cutting the sequential kernel-launch chain 4x.
-    if num_windows * n <= (1 << 17):
+    # Window batching: vmap everything whenever the temporaries fit. With the
+    # shift-accumulate convolution the live tensors are a few u32[W*n, 16]
+    # buffers (~128MB at 2^21 point-windows), so vmap-all covers n up to 2^16
+    # at w=8; the grouped lax.map fallback only kicks in beyond that (it is
+    # ~100x slower per point on TPU — see ROADMAP, Pallas bucket kernel).
+    if num_windows * n <= (1 << 21):
         bX, bY, bZ = jax.vmap(window_buckets)(digits)  # [W, nbuckets, 16]
     else:
         group = 1
