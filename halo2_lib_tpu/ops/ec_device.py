@@ -267,14 +267,17 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
         sx, sy, sz, _ = jax.lax.fori_loop(
             0, levels, level_body, (Xs, Ys, Zs, seg_start)
         )
-        # last element of each segment = positions where next starts a new segment
-        seg_end = jnp.concatenate([seg_start[1:], jnp.ones((1,), bool)])
-        # scatter segment sums into buckets by digit (digit>=1 -> bucket digit-1)
-        bucket_idx = jnp.where(seg_end & (d_sorted > 0), d_sorted - 1, nbuckets)
-        bX = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sx)
-        bY = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sy)
-        bZ = jnp.zeros((nbuckets + 1, N_LIMBS), jnp.uint32).at[bucket_idx].set(sz)
-        return bX[:nbuckets], bY[:nbuckets], bZ[:nbuckets]
+        # bucket b's sum sits at the LAST index of digit b+1 in the sorted
+        # order: binary-search it and GATHER (TPU scatter serializes; gather
+        # of 255 rows is free)
+        targets = jnp.arange(1, nbuckets + 1)
+        last_idx = jnp.searchsorted(d_sorted, targets, side="right") - 1
+        safe_idx = jnp.clip(last_idx, 0, npts - 1)
+        present = (last_idx >= 0) & (d_sorted[safe_idx] == targets)
+        bX = jnp.take(sx, safe_idx, axis=0)
+        bY = jnp.take(sy, safe_idx, axis=0)
+        bZ = jnp.where(present[:, None], jnp.take(sz, safe_idx, axis=0), 0)
+        return bX, bY, bZ
 
     # Window batching: vmap everything whenever the temporaries fit. With the
     # shift-accumulate convolution the live tensors are a few u32[W*n, 16]
