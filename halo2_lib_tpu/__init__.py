@@ -25,14 +25,21 @@ import os as _os
 
 
 def _enable_compilation_cache() -> None:
-    """Persist XLA compilations across processes (kernels here are large and
-    shape-stable, so cache hits save minutes per run; harmless if unsupported)."""
+    """Persist XLA compilations across processes — OPT-IN via
+    HALO2_TPU_JAX_CACHE=<dir>.
+
+    Off by default: XLA:CPU caches AOT executables keyed without the exact
+    host CPU features, so a cache written on one machine can load
+    miscompiled (e.g. AVX512-using) code on another — observed here as a
+    one-off wrong proof alongside ``cpu_aot_loader.cc`` feature-mismatch
+    errors. Remote (axon) backends ignore the local cache anyway.
+    """
+    cache_dir = _os.environ.get("HALO2_TPU_JAX_CACHE")
+    if not cache_dir:
+        return
     try:
         import jax
 
-        cache_dir = _os.environ.get(
-            "HALO2_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/halo2_lib_tpu_jax")
-        )
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -221,6 +221,36 @@ class DeviceCurve:
         return msm_device(self, P, digits, window_bits)
 
 
+def _seg_scan(dc: DeviceCurve, X, Y, Z, flag):
+    """Inclusive segmented EC-sum scan along axis -2 (the axis before limbs).
+
+    `flag` marks segment starts; elements never absorb sums across a start.
+    Hillis-Steele under a fori_loop so the EC-add graph is traced ONCE
+    (an unrolled scan would replicate ~10^2 ops per level into the XLA graph).
+    """
+    L = X.shape[-2]
+    idx = jnp.arange(L)
+    levels = (L - 1).bit_length()
+
+    def body(d, state):
+        x, y, z, f = state
+        shift = jnp.int32(1) << d
+        px, py, pz = (jnp.roll(t, shift, axis=-2) for t in (x, y, z))
+        pf = jnp.roll(f, shift, axis=-1)
+        s = dc._add((x, y, z), (px, py, pz))
+        # absorb only where this element hasn't hit a segment start and the
+        # shifted neighbour is real (no wraparound)
+        use = (~f) & (idx >= shift)
+        x = jnp.where(use[..., None], s[0], x)
+        y = jnp.where(use[..., None], s[1], y)
+        z = jnp.where(use[..., None], s[2], z)
+        f = f | (use & pf) | (idx < shift)
+        return (x, y, z, f)
+
+    x, y, z, _ = jax.lax.fori_loop(0, levels, body, (X, Y, Z, flag))
+    return x, y, z
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
     """Pippenger on device. P: (X,Y,Z) uint32[n,16]; digits: int32[W, n]."""
@@ -238,34 +268,41 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
         live = d_sorted > 0
         Zs = jnp.where(live[:, None], Zs, 0)
 
-        # segmented inclusive scan (Hillis-Steele, log2 n levels under a
-        # fori_loop so the EC-add graph is traced ONCE, not per level)
         seg_start = jnp.concatenate(
             [jnp.ones((1,), bool), d_sorted[1:] != d_sorted[:-1]]
         )
         npts = d_sorted.shape[0]
-        row = jnp.arange(npts)
-        levels = max((npts - 1).bit_length(), 1)
 
-        def level_body(d, state):
-            x, y, z, flag = state
-            shift = jnp.int32(1) << d
-            px = jnp.roll(x, shift, axis=0)
-            py = jnp.roll(y, shift, axis=0)
-            pz = jnp.roll(z, shift, axis=0)
-            pflag = jnp.roll(flag, shift, axis=0)
-            s = dc._add((x, y, z), (px, py, pz))
-            # take the sum only where this row hasn't hit its segment start
-            # and the shifted element is real (no wraparound)
-            use = (~flag) & (row >= shift)
-            nx = jnp.where(use[:, None], s[0], x)
-            ny = jnp.where(use[:, None], s[1], y)
-            nz = jnp.where(use[:, None], s[2], z)
-            nflag = flag | (use & pflag) | (~(row >= shift))
-            return (nx, ny, nz, nflag)
-
-        sx, sy, sz, _ = jax.lax.fori_loop(
-            0, levels, level_body, (Xs, Ys, Zs, seg_start)
+        # Two-level segmented inclusive scan: reshape [n] -> [R, C] so the
+        # full-width EC-add count drops from log2(n) to log2(C)+1, plus a
+        # log2(R)-level carry scan on a C-times-smaller tensor.
+        C = 16
+        while npts % C:
+            C //= 2
+        R = npts // C
+        x2, y2, z2 = (t.reshape(R, C, N_LIMBS) for t in (Xs, Ys, Zs))
+        s2 = seg_start.reshape(R, C)
+        ix, iy, iz = _seg_scan(dc, x2, y2, z2, s2)
+        # carry into each row = trailing open-segment sum of the rows above,
+        # via an exclusive segmented scan of the per-row trailing sums
+        rf = jnp.any(s2, axis=1)
+        cx, cy, cz = _seg_scan(dc, ix[:, -1], iy[:, -1], iz[:, -1], rf)
+        zero = jnp.zeros((1, N_LIMBS), dtype=cx.dtype)
+        cx, cy, cz = (
+            jnp.concatenate([zero, t[:-1]], 0) for t in (cx, cy, cz)
+        )
+        fix = dc._add(
+            (ix, iy, iz),
+            tuple(
+                jnp.broadcast_to(t[:, None, :], (R, C, N_LIMBS))
+                for t in (cx, cy, cz)
+            ),
+        )
+        # an element absorbs the carry only while its row prefix has no start
+        has_start = jnp.cumsum(s2.astype(jnp.int32), axis=1) > 0
+        sx, sy, sz = (
+            jnp.where(has_start[..., None], a, b).reshape(npts, N_LIMBS)
+            for a, b in zip((ix, iy, iz), fix)
         )
         # bucket b's sum sits at the LAST index of digit b+1 in the sorted
         # order: binary-search it and GATHER (TPU scatter serializes; gather
