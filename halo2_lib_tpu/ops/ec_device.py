@@ -19,6 +19,7 @@ only sequential parts at O(2^c + c * num_windows) scalar-point ops.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -28,6 +29,11 @@ import jax.numpy as jnp
 
 from ..utils.curves import ShortWeierstrass
 from .limbs import LIMB_BITS, MASK, N_LIMBS, DeviceField, _int_to_limbs
+
+# On TPU the fused pallas kernels (ops/pallas_field.py) replace the XLA
+# limb math for big batches: limb-major VMEM layout uses all 128 lanes
+# where the [..., 16] XLA layout wastes 112 of them.
+_USE_PALLAS = jax.default_backend() != "cpu" and os.environ.get("HALO2_NO_PALLAS") != "1"
 
 
 class DeviceCurve:
@@ -39,6 +45,21 @@ class DeviceCurve:
         self.curve = curve
         self.add = jax.jit(self._add)
         self.double = jax.jit(self._double)
+
+    def _add(self, P1, P2):
+        """Complete add; dispatches to the fused pallas kernel on TPU."""
+        if _USE_PALLAS:
+            from . import pallas_field
+
+            return pallas_field.ec_add(self, P1, P2)
+        return self._add_xla(P1, P2)
+
+    def _double(self, P):
+        if _USE_PALLAS:
+            from . import pallas_field
+
+            return pallas_field.ec_double(self, P)
+        return self._double_xla(P)
 
     # --- packing -----------------------------------------------------------
     def pack_points(self, points) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -84,7 +105,7 @@ class DeviceCurve:
     # XLA graph size (compile time scales with op count) and runtime, so an
     # EC add is 6 montmul calls, a double 3 — not 25 scalar-scheduled ones.
 
-    def _double(self, P):
+    def _double_xla(self, P):
         """dbl-2009-l (a = 0): 2M + 5S in 3 stacked montmul calls."""
         df = self.df
         X, Y, Z = P
@@ -104,7 +125,7 @@ class DeviceCurve:
         Z3 = df._add(r3[1], r3[1])
         return (X3, Y3, Z3)
 
-    def _add(self, P1, P2):
+    def _add_xla(self, P1, P2):
         """Complete add: add-2007-bl + doubling branch + case selects, with all
         independent multiplies batched (6 stacked montmul calls total)."""
         df = self.df
@@ -259,19 +280,22 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
     nbuckets = (1 << window_bits) - 1  # bucket 0 (digit 0) is dropped
 
     def window_buckets(wdigits):
-        """Bucket sums for one window: uint32[nbuckets, 16] x3."""
-        # sort points by digit
-        order = jnp.argsort(wdigits)
-        d_sorted = wdigits[order]
-        Xs, Ys, Zs = (t[order] for t in P)
+        """Bucket sums for a batch of windows: wdigits int32[Wb, n] ->
+        uint32[Wb, nbuckets, 16] x3. Natively batched over the window axis
+        (no vmap) so the pallas EC kernels see one flat batch."""
+        Wb = wdigits.shape[0]
+        # sort points by digit, per window
+        order = jnp.argsort(wdigits, axis=1)
+        d_sorted = jnp.take_along_axis(wdigits, order, axis=1)
+        Xs, Ys, Zs = (t[order] for t in P)  # [Wb, n, 16]
         # zero out digit-0 points (treat as identity)
         live = d_sorted > 0
-        Zs = jnp.where(live[:, None], Zs, 0)
+        Zs = jnp.where(live[..., None], Zs, 0)
 
         seg_start = jnp.concatenate(
-            [jnp.ones((1,), bool), d_sorted[1:] != d_sorted[:-1]]
+            [jnp.ones((Wb, 1), bool), d_sorted[:, 1:] != d_sorted[:, :-1]], axis=1
         )
-        npts = d_sorted.shape[0]
+        npts = d_sorted.shape[1]
 
         # Two-level segmented inclusive scan: reshape [n] -> [R, C] so the
         # full-width EC-add count drops from log2(n) to log2(C)+1, plus a
@@ -280,61 +304,64 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
         while npts % C:
             C //= 2
         R = npts // C
-        x2, y2, z2 = (t.reshape(R, C, N_LIMBS) for t in (Xs, Ys, Zs))
-        s2 = seg_start.reshape(R, C)
+        x2, y2, z2 = (t.reshape(Wb, R, C, N_LIMBS) for t in (Xs, Ys, Zs))
+        s2 = seg_start.reshape(Wb, R, C)
         ix, iy, iz = _seg_scan(dc, x2, y2, z2, s2)
         # carry into each row = trailing open-segment sum of the rows above,
         # via an exclusive segmented scan of the per-row trailing sums
-        rf = jnp.any(s2, axis=1)
-        cx, cy, cz = _seg_scan(dc, ix[:, -1], iy[:, -1], iz[:, -1], rf)
-        zero = jnp.zeros((1, N_LIMBS), dtype=cx.dtype)
+        rf = jnp.any(s2, axis=2)
+        cx, cy, cz = _seg_scan(dc, ix[:, :, -1], iy[:, :, -1], iz[:, :, -1], rf)
+        zero = jnp.zeros((Wb, 1, N_LIMBS), dtype=cx.dtype)
         cx, cy, cz = (
-            jnp.concatenate([zero, t[:-1]], 0) for t in (cx, cy, cz)
+            jnp.concatenate([zero, t[:, :-1]], axis=1) for t in (cx, cy, cz)
         )
         fix = dc._add(
             (ix, iy, iz),
             tuple(
-                jnp.broadcast_to(t[:, None, :], (R, C, N_LIMBS))
+                jnp.broadcast_to(t[:, :, None, :], (Wb, R, C, N_LIMBS))
                 for t in (cx, cy, cz)
             ),
         )
         # an element absorbs the carry only while its row prefix has no start
-        has_start = jnp.cumsum(s2.astype(jnp.int32), axis=1) > 0
+        has_start = jnp.cumsum(s2.astype(jnp.int32), axis=2) > 0
         sx, sy, sz = (
-            jnp.where(has_start[..., None], a, b).reshape(npts, N_LIMBS)
+            jnp.where(has_start[..., None], a, b).reshape(Wb, npts, N_LIMBS)
             for a, b in zip((ix, iy, iz), fix)
         )
         # bucket b's sum sits at the LAST index of digit b+1 in the sorted
         # order: binary-search it and GATHER (TPU scatter serializes; gather
         # of 255 rows is free)
         targets = jnp.arange(1, nbuckets + 1)
-        last_idx = jnp.searchsorted(d_sorted, targets, side="right") - 1
+        last_idx = (
+            jax.vmap(lambda row: jnp.searchsorted(row, targets, side="right"))(
+                d_sorted
+            )
+            - 1
+        )  # [Wb, nbuckets]
         safe_idx = jnp.clip(last_idx, 0, npts - 1)
-        present = (last_idx >= 0) & (d_sorted[safe_idx] == targets)
-        bX = jnp.take(sx, safe_idx, axis=0)
-        bY = jnp.take(sy, safe_idx, axis=0)
-        bZ = jnp.where(present[:, None], jnp.take(sz, safe_idx, axis=0), 0)
+        hit = jnp.take_along_axis(d_sorted, safe_idx, axis=1)
+        present = (last_idx >= 0) & (hit == targets[None, :])
+        bX = jnp.take_along_axis(sx, safe_idx[..., None], axis=1)
+        bY = jnp.take_along_axis(sy, safe_idx[..., None], axis=1)
+        bZ = jnp.where(
+            present[..., None], jnp.take_along_axis(sz, safe_idx[..., None], axis=1), 0
+        )
         return bX, bY, bZ
 
-    # Window batching: vmap everything whenever the temporaries fit. With the
-    # shift-accumulate convolution the live tensors are a few u32[W*n, 16]
-    # buffers (~128MB at 2^21 point-windows), so vmap-all covers n up to 2^16
-    # at w=8; the grouped lax.map fallback only kicks in beyond that (it is
-    # ~100x slower per point on TPU — see ROADMAP, Pallas bucket kernel).
+    # Window batching: process every window in one flat batch whenever the
+    # temporaries fit (a few u32[W*n, 16] buffers, ~128MB at 2^21
+    # point-windows); chunk through lax.map in groups beyond that.
     if num_windows * n <= (1 << 21):
-        bX, bY, bZ = jax.vmap(window_buckets)(digits)  # [W, nbuckets, 16]
+        bX, bY, bZ = window_buckets(digits)  # [W, nbuckets, 16]
     else:
         group = 1
-        for g in (4, 2):
-            if num_windows % g == 0 and g * n <= (1 << 18):
+        for g in (8, 4, 2):
+            if num_windows % g == 0 and g * n <= (1 << 21):
                 group = g
                 break
-        if group > 1:
-            grouped = digits.reshape(num_windows // group, group, n)
-            gb = jax.lax.map(jax.vmap(window_buckets), grouped)
-            bX, bY, bZ = (t.reshape(num_windows, nbuckets, N_LIMBS) for t in gb)
-        else:
-            bX, bY, bZ = jax.lax.map(window_buckets, digits)
+        grouped = digits.reshape(num_windows // group, group, n)
+        gb = jax.lax.map(window_buckets, grouped)
+        bX, bY, bZ = (t.reshape(num_windows, nbuckets, N_LIMBS) for t in gb)
 
     # suffix-sum trick, vectorized across windows:
     # acc_b = sum_{j >= b} S_j ; window_total = sum_b acc_b

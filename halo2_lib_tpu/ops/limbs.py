@@ -17,6 +17,8 @@ backend (SURVEY.md §2.9); the host-exact twin is utils.fields.PrimeField.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -27,6 +29,20 @@ from ..utils.fields import PrimeField
 LIMB_BITS = 16
 N_LIMBS = 16  # 256 bits
 MASK = (1 << LIMB_BITS) - 1
+
+# TPU: dispatch big-batch Montgomery products to the fused pallas kernel
+# (ops/pallas_field.py). CPU keeps the exact-f32 matmul path below.
+_USE_PALLAS = None  # resolved lazily on first _mont_mul call
+
+
+def _use_pallas() -> bool:
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        _USE_PALLAS = (
+            jax.default_backend() != "cpu"
+            and os.environ.get("HALO2_NO_PALLAS") != "1"
+        )
+    return _USE_PALLAS
 
 
 def _int_to_limbs(x: int, n: int = N_LIMBS) -> np.ndarray:
@@ -243,6 +259,14 @@ class DeviceField:
         return jnp.stack(outs, axis=-1), carry
 
     def _mont_mul(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Montgomery product; fused pallas kernel on TPU for big batches."""
+        if _use_pallas():
+            from . import pallas_field
+
+            return pallas_field.mont_mul(self, a, b)
+        return self._mont_mul_xla(a, b)
+
+    def _mont_mul_xla(self, a: jax.Array, b: jax.Array) -> jax.Array:
         """Montgomery product a*b*R^{-1} mod p (SOS form).
 
         T = a*b; m = (T mod R) * n' mod R; out = (T + m*p) / R, cond-subtract.

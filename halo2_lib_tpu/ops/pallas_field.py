@@ -1,0 +1,419 @@
+"""Pallas TPU kernels: fused Montgomery field mul + complete EC point add.
+
+Why these exist: the generic XLA path stores field elements as
+``uint32[..., 16]`` — the 16-limb axis lands in the TPU's 128-wide lane
+dimension, so every vector op wastes 112/128 lanes, and the 16-step
+shift-accumulate convolution round-trips HBM between steps. These kernels
+load a block of elements into VMEM once, transpose to limb-major
+``[16, BLK]`` (limbs on sublanes, batch on lanes — full lane utilization),
+run the entire SOS Montgomery multiply (or the whole complete Jacobian
+add: 23 fused multiplies) out of VMEM, and write the result once.
+
+Replaces the hot inner loops of `halo2curves-axiom` field/curve arithmetic
+in the reference backend (SURVEY.md §2.9) on the TPU path; the XLA
+implementations in ops/limbs.py and ops/ec_device.py remain the reference
+semantics (and the CPU path). Kernels are validated against them in
+tests/test_pallas_field.py via interpret mode.
+
+Algorithm notes
+---------------
+* Convolution: ``cols[i+j] += lo(a_i*b_j)``, ``cols[i+j+1] += hi(a_i*b_j)``
+  done as 16 static sublane rolls of a zero-padded ``[32, BLK]`` product
+  block accumulated into ``[40, BLK]`` (40 = 5 sublane tiles). Column sums
+  stay < 2^22, safe in uint32 lanes.
+* Carry chains are the only sequential parts: 16 (resp. 17) row steps of
+  mask/shift. Rows are ``[1, BLK]`` — sublane-thin but lane-full.
+* The EC add groups its 23 Montgomery multiplies into 6 stacked rounds
+  ``[G, 16, BLK]`` exactly like ops/ec_device.py's XLA path, so the VPU
+  sees few, fat ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .limbs import LIMB_BITS, MASK, N_LIMBS, DeviceField
+
+try:  # pallas is TPU/interpret-only; keep import soft for exotic builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+# Lane width of one block: batch elements per kernel program.
+BLK = 512
+_COLS = 2 * N_LIMBS + 1  # 33 product columns
+_CPAD = 40  # padded to a multiple of 8 sublanes
+
+
+def _roll(x, shift, axis):
+    """Static-shift roll that works both compiled (Mosaic) and interpreted."""
+    return pltpu.roll(x, shift, axis) if shift else x
+
+
+# --- in-kernel field helpers (values are uint32[..., 16|40, BLK]) ----------
+
+
+def _conv(at, bt):
+    """Product columns of two limb-major values: [..., 16, B] -> [..., 40, B].
+
+    cols[k] = sum_{i+j=k} lo(a_i*b_j) + sum_{i+j+1=k} hi(a_i*b_j); every
+    partial sum < 2^22. Shifts are static sublane rolls of a zero-padded
+    block (nonzero rows 0..15 shifted by <= 16 stay inside 40, no wrap).
+    """
+    zpad = jnp.zeros(at.shape[:-2] + (_CPAD - N_LIMBS,) + at.shape[-1:], jnp.uint32)
+    cols = None
+    for i in range(N_LIMBS):
+        prod = at[..., i : i + 1, :] * bt  # [..., 16, B] exact u32
+        lo = jnp.concatenate([prod & MASK, zpad], axis=-2)  # [..., 40, B]
+        hi = jnp.concatenate([prod >> LIMB_BITS, zpad], axis=-2)
+        c = _roll(lo, i, lo.ndim - 2) + _roll(hi, i + 1, hi.ndim - 2)
+        cols = c if cols is None else cols + c
+    return cols
+
+
+def _normalize_low(cols, k):
+    """Carry-normalize the first k columns -> (rows list[k], carry [..., B])."""
+    outs = []
+    carry = jnp.zeros_like(cols[..., 0, :])
+    for j in range(k):
+        v = cols[..., j, :] + carry
+        outs.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return outs, carry
+
+
+def _stack_rows(rows):
+    return jnp.stack(rows, axis=-2)
+
+
+def _cond_sub_p(rows17, p17):
+    """rows17: list of 17 normalized rows, value < 2p -> 16 limb-major rows.
+
+    p17 is a python list of 17 int limbs (folded into the code as scalar
+    literals — pallas kernels cannot capture constant arrays)."""
+    diff = []
+    borrow = jnp.zeros_like(rows17[0])
+    for j in range(N_LIMBS + 1):
+        d = rows17[j] - jnp.uint32(p17[j]) - borrow
+        diff.append(d & MASK)
+        borrow = (d >> 31) & 1
+    ge = borrow == 0
+    out = [jnp.where(ge, diff[j], rows17[j]) for j in range(N_LIMBS)]
+    return _stack_rows(out)
+
+
+def _conv_const(at, c):
+    """_conv against a compile-time constant 16-limb value (list of ints)."""
+    zpad = jnp.zeros(at.shape[:-2] + (_CPAD - N_LIMBS,) + at.shape[-1:], jnp.uint32)
+    cols = None
+    for i in range(N_LIMBS):
+        if not c[i]:
+            continue
+        prod = jnp.uint32(c[i]) * at  # [..., 16, B] exact u32 (c[i] < 2^16)
+        lo = jnp.concatenate([prod & MASK, zpad], axis=-2)
+        hi = jnp.concatenate([prod >> LIMB_BITS, zpad], axis=-2)
+        # here i indexes the CONSTANT's limb: the variable limbs are the rows,
+        # so lo lands at rows i..i+15 exactly as in _conv
+        cc = _roll(lo, i, lo.ndim - 2) + _roll(hi, i + 1, hi.ndim - 2)
+        cols = cc if cols is None else cols + cc
+    return cols
+
+
+def _mont_mul_t(at, bt, consts):
+    """SOS Montgomery product on limb-major values [..., 16, B]."""
+    nprime, p_rows, p17 = consts
+    T = _conv(at, bt)
+    t_lo, _ = _normalize_low(T, N_LIMBS)
+    m_cols = _conv_const(_stack_rows(t_lo), nprime)
+    m, _ = _normalize_low(m_cols, N_LIMBS)
+    U = _conv_const(_stack_rows(m), p_rows)
+    S = T + U
+    _, low_carry = _normalize_low(S, N_LIMBS)
+    # high 17 columns + the carry out of the vanished low half
+    rows = []
+    carry = low_carry
+    for j in range(N_LIMBS, 2 * N_LIMBS + 1):
+        v = S[..., j, :] + carry
+        rows.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return _cond_sub_p(rows, p17)
+
+
+def _add_f(at, bt, p17):
+    """Field add on limb-major [..., 16, B]."""
+    s = at + bt
+    rows, carry = _normalize_low(s, N_LIMBS)
+    rows.append(carry)
+    return _cond_sub_p(rows, p17)
+
+
+def _sub_f(at, bt, p_rows):
+    """Field sub on limb-major [..., 16, B]; p_rows = python list of limbs."""
+    diff = []
+    borrow = jnp.zeros_like(at[..., 0, :])
+    for j in range(N_LIMBS):
+        d = at[..., j, :] - bt[..., j, :] - borrow
+        diff.append(d & MASK)
+        borrow = (d >> 31) & 1
+    under = borrow == 1
+    out = []
+    carry = jnp.zeros_like(borrow)
+    for j in range(N_LIMBS):
+        v = diff[j] + jnp.where(under, jnp.uint32(p_rows[j]), jnp.uint32(0)) + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return _stack_rows(out)
+
+
+def _dbl_f(at, p17):
+    return _add_f(at, at, p17)
+
+
+def _is_zero_t(at):
+    """[..., 16, B] -> bool [..., 1, B]."""
+    return jnp.all(at == 0, axis=-2, keepdims=True)
+
+
+def _consts_for(df: DeviceField):
+    """Per-field constants as python int lists (fold to scalar literals)."""
+    nprime = [int(x) for x in df.NPRIME]
+    p_rows = [int(x) for x in df.P]
+    p17 = [int(x) for x in df.P17]
+    return nprime, p_rows, p17
+
+
+# --- kernels -----------------------------------------------------------------
+
+
+def _mm_kernel(a_ref, b_ref, o_ref, *, df: DeviceField):
+    nprime, p_rows, p17 = _consts_for(df)
+    at = a_ref[:].T  # [16, BLK]
+    bt = b_ref[:].T
+    out = _mont_mul_t(at, bt, (nprime, p_rows, p17))
+    o_ref[:] = out.T
+
+
+def _ec_add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, df: DeviceField):
+    """Complete Jacobian add, mirroring ops/ec_device.py::DeviceCurve._add
+    (same add-2007-bl + doubling-branch structure and case selects)."""
+    nprime, p_rows, p17 = _consts_for(df)
+    consts = (nprime, p_rows, p17)
+    st = lambda *xs: jnp.stack(xs, axis=0)  # [G, 16, BLK]
+
+    X1, Y1, Z1 = x1[:].T, y1[:].T, z1[:].T
+    X2, Y2, Z2 = x2[:].T, y2[:].T, z2[:].T
+
+    r1 = _mont_mul_t(st(Z1, Z2, X1, Y1), st(Z1, Z2, X1, Y1), consts)
+    Z1Z1, Z2Z2, A, B = r1[0], r1[1], r1[2], r1[3]
+    r2 = _mont_mul_t(st(X1, X2, Y1, Y2, B, Y1), st(Z2Z2, Z1Z1, Z2, Z1, B, Z1), consts)
+    U1, U2, t1, t2, C, YZ = (r2[i] for i in range(6))
+    tXB = _add_f(X1, B, p17)
+    r3 = _mont_mul_t(st(t1, t2, tXB), st(Z2Z2, Z1Z1, tXB), consts)
+    S1, S2, tXB2 = r3[0], r3[1], r3[2]
+
+    H = _sub_f(U2, U1, p_rows)
+    r_ = _sub_f(S2, S1, p_rows)
+    rr = _dbl_f(r_, p17)
+    E = _add_f(_dbl_f(A, p17), A, p17)
+    D = _dbl_f(_sub_f(_sub_f(tXB2, A, p_rows), C, p_rows), p17)
+    zz = _add_f(Z1, Z2, p17)
+    r4 = _mont_mul_t(st(H, E, rr, zz), st(H, E, rr, zz), consts)
+    HH, F_, rr2, zz2 = r4[0], r4[1], r4[2], r4[3]
+    I = _dbl_f(_dbl_f(HH, p17), p17)
+    X3d = _sub_f(F_, _dbl_f(D, p17), p_rows)
+    zzsub = _sub_f(_sub_f(zz2, Z1Z1, p_rows), Z2Z2, p_rows)
+    r5 = _mont_mul_t(st(H, U1, zzsub, E), st(I, I, H, _sub_f(D, X3d, p_rows)), consts)
+    J, V, Z3, Ed = r5[0], r5[1], r5[2], r5[3]
+    X3 = _sub_f(_sub_f(rr2, J, p_rows), _dbl_f(V, p17), p_rows)
+    r6 = _mont_mul_t(st(rr, S1), st(_sub_f(V, X3, p_rows), J), consts)
+    S1J = r6[1]
+    Y3 = _sub_f(r6[0], _dbl_f(S1J, p17), p_rows)
+    C4 = _dbl_f(_dbl_f(C, p17), p17)
+    Y3d = _sub_f(Ed, _dbl_f(C4, p17), p_rows)
+    Z3d = _dbl_f(YZ, p17)
+
+    p1_inf = _is_zero_t(Z1)
+    p2_inf = _is_zero_t(Z2)
+    h_zero = _is_zero_t(H)
+    r_zero = _is_zero_t(r_)
+    is_double = h_zero & r_zero & ~p1_inf & ~p2_inf
+    is_ident = h_zero & ~r_zero & ~p1_inf & ~p2_inf
+
+    X3 = jnp.where(is_double, X3d, X3)
+    Y3 = jnp.where(is_double, Y3d, Y3)
+    Z3 = jnp.where(is_double, Z3d, Z3)
+    Z3 = jnp.where(is_ident, jnp.zeros_like(Z3), Z3)
+    X3 = jnp.where(p2_inf, X1, jnp.where(p1_inf, X2, X3))
+    Y3 = jnp.where(p2_inf, Y1, jnp.where(p1_inf, Y2, Y3))
+    Z3 = jnp.where(p2_inf, Z1, jnp.where(p1_inf, Z2, Z3))
+
+    ox[:] = X3.T
+    oy[:] = Y3.T
+    oz[:] = Z3.T
+
+
+def _ec_double_kernel(x1, y1, z1, ox, oy, oz, *, df: DeviceField):
+    """dbl-2009-l (a=0), mirroring DeviceCurve._double."""
+    nprime, p_rows, p17 = _consts_for(df)
+    consts = (nprime, p_rows, p17)
+    st = lambda *xs: jnp.stack(xs, axis=0)
+    X, Y, Z = x1[:].T, y1[:].T, z1[:].T
+    r1 = _mont_mul_t(st(X, Y), st(X, Y), consts)
+    A, B = r1[0], r1[1]
+    E = _add_f(_dbl_f(A, p17), A, p17)
+    tXB = _add_f(X, B, p17)
+    r2 = _mont_mul_t(st(B, tXB, E), st(B, tXB, E), consts)
+    C, tXB2, F_ = r2[0], r2[1], r2[2]
+    D = _dbl_f(_sub_f(_sub_f(tXB2, A, p_rows), C, p_rows), p17)
+    X3 = _sub_f(F_, _dbl_f(D, p17), p_rows)
+    r3 = _mont_mul_t(st(E, Y), st(_sub_f(D, X3, p_rows), Z), consts)
+    C4 = _dbl_f(_dbl_f(C, p17), p17)
+    Y3 = _sub_f(r3[0], _dbl_f(C4, p17), p_rows)
+    Z3 = _dbl_f(r3[1], p17)
+    ox[:] = X3.T
+    oy[:] = Y3.T
+    oz[:] = Z3.T
+
+
+# --- host-callable wrappers ---------------------------------------------------
+
+
+def _vspec():
+    return pl.BlockSpec((BLK, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _mm_call(p_int: int, n: int, interpret: bool):
+    from ..utils.fields import PrimeField
+
+    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
+    return pl.pallas_call(
+        functools.partial(_mm_kernel, df=df),
+        out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
+        grid=(n // BLK,),
+        in_specs=[_vspec(), _vspec()],
+        out_specs=_vspec(),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_add_call(p_int: int, n: int, interpret: bool):
+    from ..utils.fields import PrimeField
+
+    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
+    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_ec_add_kernel, df=df),
+        out_shape=(shape, shape, shape),
+        grid=(n // BLK,),
+        in_specs=[_vspec()] * 6,
+        out_specs=(_vspec(), _vspec(), _vspec()),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_double_call(p_int: int, n: int, interpret: bool):
+    from ..utils.fields import PrimeField
+
+    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
+    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_ec_double_kernel, df=df),
+        out_shape=(shape, shape, shape),
+        grid=(n // BLK,),
+        in_specs=[_vspec()] * 3,
+        out_specs=(_vspec(), _vspec(), _vspec()),
+        interpret=interpret,
+    )
+
+
+def _flatten(t):
+    return t.reshape(-1, N_LIMBS)
+
+
+def mont_mul(df: DeviceField, a, b, interpret: bool = False):
+    """Pallas Montgomery product; falls back to the XLA path off-block sizes."""
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (N_LIMBS,))
+    b = jnp.broadcast_to(b, shape + (N_LIMBS,))
+    n = int(np.prod(shape)) if shape else 1
+    if n % BLK:
+        return df._mont_mul_xla(a, b)
+    out = _mm_call(df.p_int, n, interpret)(_flatten(a), _flatten(b))
+    return out.reshape(shape + (N_LIMBS,))
+
+
+def ec_add(dc, P1, P2, interpret: bool = False):
+    """Pallas complete Jacobian add over flattened batch dims."""
+    shape = jnp.broadcast_shapes(P1[0].shape[:-1], P2[0].shape[:-1])
+    n = int(np.prod(shape)) if shape else 1
+    if n % BLK:
+        return dc._add_xla(P1, P2)
+    args = [
+        _flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))) for t in (*P1, *P2)
+    ]
+    outs = _ec_add_call(dc.df.p_int, n, interpret)(*args)
+    return tuple(t.reshape(shape + (N_LIMBS,)) for t in outs)
+
+
+def ec_double(dc, P, interpret: bool = False):
+    """Pallas Jacobian doubling over flattened batch dims."""
+    shape = P[0].shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    if n % BLK:
+        return dc._double_xla(P)
+    args = [_flatten(t) for t in P]
+    outs = _ec_double_call(dc.df.p_int, n, interpret)(*args)
+    return tuple(t.reshape(shape + (N_LIMBS,)) for t in outs)
+
+
+# --- NTT butterfly ------------------------------------------------------------
+
+
+def _butterfly_kernel(a_ref, b_ref, w_ref, top_ref, bot_ref, *, df: DeviceField):
+    """One Stockham stage step: top = a + b, bot = (a - b) * w (fused)."""
+    nprime, p_rows, p17 = _consts_for(df)
+    at = a_ref[:].T
+    bt = b_ref[:].T
+    wt = w_ref[:].T
+    top_ref[:] = _add_f(at, bt, p17).T
+    bot_ref[:] = _mont_mul_t(_sub_f(at, bt, p_rows), wt, (nprime, p_rows, p17)).T
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_call(p_int: int, n: int, interpret: bool):
+    from ..utils.fields import PrimeField
+
+    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
+    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_butterfly_kernel, df=df),
+        out_shape=(shape, shape),
+        grid=(n // BLK,),
+        in_specs=[_vspec()] * 3,
+        out_specs=(_vspec(), _vspec()),
+        interpret=interpret,
+    )
+
+
+def ntt_butterfly(df: DeviceField, a, b, w, interpret: bool = False):
+    """(a + b, (a - b) * w) fused; XLA fallback off-block sizes."""
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1], w.shape[:-1])
+    n = int(np.prod(shape)) if shape else 1
+    if n % BLK:
+        return df._add(a, b), df._mont_mul_xla(df._sub(a, b), w)
+    args = [
+        _flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))) for t in (a, b, w)
+    ]
+    top, bot = _butterfly_call(df.p_int, n, interpret)(*args)
+    return top.reshape(shape + (N_LIMBS,)), bot.reshape(shape + (N_LIMBS,))

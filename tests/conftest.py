@@ -16,3 +16,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Machine-local compile cache for test speed. Deliberately under /tmp (not
+# $HOME): XLA:CPU AOT cache entries compiled on a different machine can load
+# miscompiled code (cpu_aot_loader feature-mismatch -> wrong numerics), and
+# /tmp never travels between machines. Production runs stay cache-free
+# unless HALO2_TPU_JAX_CACHE is set explicitly.
+_cache = "/tmp/halo2_lib_tpu_test_xla_cache"
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
