@@ -5,13 +5,16 @@ Role of halo2-axiom's `ParamsKZG::<Bn256>::{setup, read, write}` and
 SRS over bn254 generated from a seeded RNG and cached on disk under
 `params/kzg_bn254_{k}.srs` (env `PARAMS_DIR` respected).
 
-Unlike halo2 we keep only the monomial basis: columns are IFFT'd on device
-(cheap NTT over Fr) and committed with the device Pippenger MSM — the
-TPU-natural split (commit = one big MSM on the MXU-adjacent VPU path).
+TPU-first commitment design: like halo2's ParamsKZG we keep BOTH bases —
+`g` (monomial, tau^i G) and `g_lagrange` (L_i(tau) G). Columns arriving in
+evaluation (Lagrange) form commit directly against `g_lagrange` with NO IFFT;
+coefficient-form polynomials (quotient pieces, SHPLONK openings) use `g`.
+All commitments go through the batched device MSM (ops/ec_device.py
+msm_many_device): a whole transcript phase's columns are one dispatch.
 
-SRS generation itself is a device kernel: all n points `tau^i * G` are
-produced by one batched MSB-first double-and-add over the bit rows of the
-scalar matrix (254 fully-vectorized steps), not n sequential scalar muls.
+SRS generation itself is a device kernel: all n points `tau^i * G` (and the
+Lagrange-basis points) are produced by one batched MSB-first double-and-add
+over the bit rows of the scalar matrix, not n sequential scalar muls.
 """
 
 from __future__ import annotations
@@ -24,29 +27,64 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ec_device import DeviceCurve, msm_device
+from ..ops.ec_device import DeviceCurve, msm_device, msm_many_device
 from ..ops.limbs import N_LIMBS, DeviceField
 from ..utils.curves import BN254_G1, BN254_G2
 from ..utils.fields import FR_BN254
 
-_SRS_MAGIC = b"H2TPUSRS"
+_SRS_MAGIC_V1 = b"H2TPUSRS"
+_SRS_MAGIC = b"H2TPUSR2"  # v2: adds the Lagrange basis
 
 
 def _params_dir() -> str:
     return os.environ.get("PARAMS_DIR", os.path.join(os.getcwd(), "params"))
 
 
-class ParamsKZG:
-    """Powers-of-tau SRS: g[i] = tau^i * G1, g2, s_g2 = tau * G2."""
+def _batch_inv_host(vals: list[int], p: int) -> list[int]:
+    """Montgomery-trick batch inversion with exact host ints."""
+    n = len(vals)
+    pref = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        pref[i + 1] = pref[i] * v % p
+    inv_all = pow(pref[n], -1, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = pref[i] * inv_all % p
+        inv_all = inv_all * vals[i] % p
+    return out
 
-    def __init__(self, k: int, g: list, g2, s_g2):
+
+def _lagrange_scalars(tau: int, k: int) -> list[int]:
+    """L_i(tau) = omega^i (tau^n - 1) / (n (tau - omega^i)) for i < n."""
+    p = FR_BN254.p
+    n = 1 << k
+    w = FR_BN254.nth_root_of_unity(k)
+    wi = [1] * n
+    for i in range(1, n):
+        wi[i] = wi[i - 1] * w % p
+    zh = (pow(tau, n, p) - 1) % p
+    n_inv = pow(n, -1, p)
+    denoms = [(tau - x) % p for x in wi]
+    invs = _batch_inv_host(denoms, p)
+    scale = zh * n_inv % p
+    return [wi[i] * scale % p * invs[i] % p for i in range(n)]
+
+
+class ParamsKZG:
+    """Powers-of-tau SRS: g[i] = tau^i G1, g_lagrange[i] = L_i(tau) G1,
+    g2, s_g2 = tau G2."""
+
+    def __init__(self, k: int, g: list, g_lagrange: list, g2, s_g2):
         self.k = k
         self.n = 1 << k
         self.g = g
+        self.g_lagrange = g_lagrange
         self.g2 = g2
         self.s_g2 = s_g2
         self._dc: DeviceCurve | None = None
         self._packed = None
+        self._packed_affine = None
+        self._lag_affine = None
 
     # --- setup ----------------------------------------------------------------
     @staticmethod
@@ -56,15 +94,14 @@ class ParamsKZG:
         tau = rng.randrange(1, FR_BN254.p)
         n = 1 << k
         # scalars tau^0..tau^{n-1}
-        taus = np.empty(n, dtype=object)
-        cur = 1
-        for i in range(n):
-            taus[i] = cur
-            cur = cur * tau % FR_BN254.p
-        g = _batch_g1_mul(list(taus))
+        taus = [1] * n
+        for i in range(1, n):
+            taus[i] = taus[i - 1] * tau % FR_BN254.p
+        g = _batch_g1_mul(taus)
+        g_lagrange = _batch_g1_mul(_lagrange_scalars(tau, k))
         g2 = BN254_G2.g
         s_g2 = BN254_G2.mul(g2, tau)
-        return ParamsKZG(k, g, g2, s_g2)
+        return ParamsKZG(k, g, g_lagrange, g2, s_g2)
 
     # --- disk cache -------------------------------------------------------------
     def write(self, path: str) -> None:
@@ -72,8 +109,9 @@ class ParamsKZG:
         with open(path, "wb") as f:
             f.write(_SRS_MAGIC)
             f.write(self.k.to_bytes(4, "little"))
-            for pt in self.g:
-                f.write(pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little"))
+            for basis in (self.g, self.g_lagrange):
+                for pt in basis:
+                    f.write(pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little"))
             for pt in (self.g2, self.s_g2):
                 (x, y) = pt
                 for c in (x[0], x[1], y[0], y[1]):
@@ -83,22 +121,27 @@ class ParamsKZG:
     def read(path: str) -> "ParamsKZG":
         with open(path, "rb") as f:
             data = f.read()
+        if data[:8] == _SRS_MAGIC_V1:
+            raise ValueError("v1 SRS file (no Lagrange basis); regenerate")
         assert data[:8] == _SRS_MAGIC, "bad SRS file"
         k = int.from_bytes(data[8:12], "little")
         n = 1 << k
         off = 12
-        g = []
-        for _ in range(n):
-            x = int.from_bytes(data[off : off + 32], "little")
-            y = int.from_bytes(data[off + 32 : off + 64], "little")
-            g.append((x, y))
-            off += 64
+        bases = []
+        for _ in range(2):
+            pts = []
+            for _ in range(n):
+                x = int.from_bytes(data[off : off + 32], "little")
+                y = int.from_bytes(data[off + 32 : off + 64], "little")
+                pts.append((x, y))
+                off += 64
+            bases.append(pts)
         pts2 = []
         for _ in range(2):
             cs = [int.from_bytes(data[off + 32 * i : off + 32 * (i + 1)], "little") for i in range(4)]
             pts2.append(((cs[0], cs[1]), (cs[2], cs[3])))
             off += 128
-        return ParamsKZG(k, g, pts2[0], pts2[1])
+        return ParamsKZG(k, bases[0], bases[1], pts2[0], pts2[1])
 
     # --- commitments ---------------------------------------------------------------
     def device_curve(self) -> DeviceCurve:
@@ -111,6 +154,30 @@ class ParamsKZG:
             self._packed = self.device_curve().pack_points(self.g)
         return self._packed
 
+    def affine_bases(self):
+        """(Ax, Ay) monomial bases for msm_many_device."""
+        if self._packed_affine is None:
+            self._packed_affine = self.device_curve().pack_points_affine(self.g)
+        return self._packed_affine
+
+    def affine_lagrange_bases(self):
+        """(Ax, Ay) Lagrange bases for msm_many_device."""
+        if self._lag_affine is None:
+            self._lag_affine = self.device_curve().pack_points_affine(self.g_lagrange)
+        return self._lag_affine
+
+    def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = 8):
+        """Traceable batched commitment: [C, m, 16] Montgomery column values
+        (evaluation form if `lagrange`, else coefficients) -> [C] Jacobian
+        points. Safe to call inside a larger jit (no host sync).
+        Uses the no-doubling mixed add (SRS bases are distinct)."""
+        C, m, _ = vals_mont.shape
+        digits = window_digits(fr_df, vals_mont, window_bits)  # [C, W, m]
+        if m < self.n:
+            digits = jnp.pad(digits, ((0, 0), (0, 0), (0, self.n - m)))
+        A = self.affine_lagrange_bases() if lagrange else self.affine_bases()
+        return msm_many_device(self.device_curve(), A, digits, window_bits, True)
+
     def commit(self, coeffs: list[int], window_bits: int = 8):
         """Commit to a polynomial in coefficient form: MSM(g, coeffs) -> affine point."""
         assert len(coeffs) <= self.n
@@ -122,40 +189,44 @@ class ParamsKZG:
         out = msm_device(dc, P, digits, window_bits)
         return dc.unpack_points(out)[0]
 
-    def commit_dev(self, coeffs_dev, fr_df, window_bits: int = 8):
-        """Commit from a device Montgomery-limb coeff tensor [m, 16], m <= n.
-
-        Window digits are extracted on device from the canonical 16-bit limbs
-        (one shift+mask per window) — no host round trip before the MSM.
-        Requires window_bits dividing 16.
-        """
-        assert 16 % window_bits == 0, "window_bits must divide the limb width"
+    def commit_lagrange(self, evals: list[int], window_bits: int = 8):
+        """Commit to a polynomial given by its evaluations on H (no IFFT)."""
+        assert len(evals) <= self.n
         dc = self.device_curve()
-        P = self.packed_bases()
-        m = coeffs_dev.shape[0]
-        num_windows = -(-254 // window_bits)
-
-        if not hasattr(self, "_digits_jit"):
-            per_limb = 16 // window_bits
-            mask = (1 << window_bits) - 1
-
-            def _digits(canon):
-                outs = []
-                for w in range(num_windows):
-                    limb = canon[:, w // per_limb]
-                    shift = (w % per_limb) * window_bits
-                    outs.append(((limb >> shift) & mask).astype(jnp.int32))
-                return jnp.stack(outs)  # [W, m]
-
-            self._digits_jit = jax.jit(lambda c: _digits(fr_df.from_mont(c)))
-        digits = self._digits_jit(coeffs_dev)
-        if m < self.n:
-            digits = jnp.pad(digits, ((0, 0), (0, self.n - m)))
+        P = dc.pack_points(self.g_lagrange)
+        if len(evals) < self.n:
+            evals = list(evals) + [0] * (self.n - len(evals))
+        digits = dc.pack_scalars(evals, window_bits)
         out = msm_device(dc, P, digits, window_bits)
         return dc.unpack_points(out)[0]
 
+    def commit_dev(self, coeffs_dev, fr_df, window_bits: int = 8):
+        """Commit from a device Montgomery-limb coeff tensor [m, 16], m <= n."""
+        out = self.commit_many_inside(fr_df, coeffs_dev[None], False, window_bits)
+        dc = self.device_curve()
+        return dc.unpack_points((out[0][0], out[1][0], out[2][0]))[0]
+
     def commit_many(self, polys: list[list[int]], window_bits: int = 8) -> list:
         return [self.commit(p, window_bits) for p in polys]
+
+
+def window_digits(fr_df: DeviceField, vals_mont, window_bits: int = 8):
+    """[..., m, 16] Montgomery scalars -> int32[..., W, m] window digits.
+
+    Pure device math (traceable): one from_mont plus shift/mask per window.
+    `window_bits` must divide the 16-bit limb width.
+    """
+    assert 16 % window_bits == 0, "window_bits must divide the limb width"
+    per_limb = 16 // window_bits
+    mask = (1 << window_bits) - 1
+    num_windows = -(-254 // window_bits)
+    canon = fr_df._from_mont(vals_mont)  # [..., m, 16]
+    outs = []
+    for w in range(num_windows):
+        limb = canon[..., w // per_limb]
+        shift = (w % per_limb) * window_bits
+        outs.append(((limb >> shift) & mask).astype(jnp.int32))
+    return jnp.stack(outs, axis=-2)  # [..., W, m]
 
 
 def _batch_g1_mul(scalars: list[int]):
@@ -191,7 +262,10 @@ def gen_srs(k: int) -> ParamsKZG:
     """Read-or-create `params/kzg_bn254_{k}.srs` (utils/mod.rs:437-443)."""
     path = os.path.join(_params_dir(), f"kzg_bn254_{k}.srs")
     if os.path.exists(path):
-        return ParamsKZG.read(path)
+        try:
+            return ParamsKZG.read(path)
+        except ValueError:
+            pass  # stale v1 file: regenerate below
     params = ParamsKZG.setup(k)
     params.write(path)
     return params

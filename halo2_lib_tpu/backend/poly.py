@@ -143,13 +143,12 @@ class Domain:
 
     # --- device scalar-power helpers ------------------------------------------------
     def omega_pows_dev(self) -> jax.Array:
-        """[n, 16] Montgomery values of the domain points w^i (cached)."""
+        """[n, 16] Montgomery values of the domain points w^i (cached;
+        computed on device by a log-depth power scan, no O(n) host loop)."""
         if not hasattr(self, "_omega_pows_dev"):
-            p = self.F.p
-            vals = [1] * self.n
-            for i in range(1, self.n):
-                vals[i] = vals[i - 1] * self.omega % p
-            self._omega_pows_dev = self.pack(vals)
+            from ..ops.ntt import _pows_device
+
+            self._omega_pows_dev = _pows_device(self.df, self.omega, self.n)
         return self._omega_pows_dev
 
     def pows_dev(self, x: int, m: int) -> jax.Array:

@@ -1,14 +1,21 @@
 """create_proof: the PlonKish KZG prover (SHPLONK multiopen, Blake2b FS).
 
 Role of halo2-axiom's `create_proof::<KZGCommitmentScheme, ProverSHPLONK,
-Challenge255, _, Blake2bWrite, _>` (SURVEY.md §2.9, §3.3). Hot paths run on
-device: column IFFTs / extended-coset FFTs (ops/ntt.py), Pippenger MSM
-commitments (ops/ec_device.py), the quotient evaluation as batched
-Montgomery-limb tensor math, grand products via log-depth associative scans +
-one batched inversion, and the SHPLONK multiopen in *evaluation form* on H
-(every polynomial division becomes a pointwise multiply by a batched inverse;
-the only host-scalar work left is the tiny <=deg-3 interpolations and the
-lookup permuted-pair sort).
+Challenge255, _, Blake2bWrite, _>` (SURVEY.md §2.9, §3.3).
+
+TPU-first execution structure: the prover is organised around the
+Fiat-Shamir phases. Each phase between two transcript squeezes is ONE
+fused jitted dispatch — batched column math, batched NTTs, and ONE batched
+multi-column MSM — so a proof costs ~8 device round trips total instead of
+hundreds (each round trip is ~30 ms over a remote-tunnel backend, and any
+bulk host<->device traffic is far worse). Columns in evaluation form commit
+directly against the Lagrange-basis SRS (no per-column IFFT on the commit
+path); coefficient-form polynomials (quotient pieces, SHPLONK openings) use
+the monomial basis. Witness columns upload ONCE as uint16 limb tensors.
+
+Per-proving-key device state (fixed/sigma/selector/table columns in
+Lagrange, coefficient and extended-coset form, plus domain constants) is
+computed once and cached on the ProvingKey (`_runtime`).
 
 Protocol phases (must mirror verifier.py exactly):
   vk hash + instances -> advice commitments -> theta -> lookup permuted
@@ -22,8 +29,29 @@ import os as _os
 import random as _random
 import time as _time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+from ..gates.circuit import BaseCircuitBuilder, PhysicalCircuit
+from ..ops.limbs import N_LIMBS, ints_to_limbs
+from ..utils.fields import FR_BN254
+from .keygen import BLINDING_FACTORS, DELTA, ProvingKey
+from .kzg import ParamsKZG
+from .poly import domain as get_domain
+from .protocol import (
+    P,
+    group_queries,
+    lagrange_interpolate,
+    perm_chunks,
+    point_values,
+    poly_eval,
+    query_plan,
+    usable_row_count,
+    vanishing_poly,
+)
+from .transcript import Blake2bWrite
 
 _DEBUG = _os.environ.get("HALO2_PROVER_DEBUG") == "1"
 
@@ -36,25 +64,6 @@ def _stage(label: str, t0: float) -> float:
         print(f"[prover] {label}: {now - t0:.2f}s", file=_sys.stderr, flush=True)
     return now
 
-from ..gates.circuit import BaseCircuitBuilder, PhysicalCircuit
-from ..utils.fields import FR_BN254
-from .keygen import BLINDING_FACTORS, DELTA, ProvingKey
-from .kzg import ParamsKZG
-from .poly import domain as get_domain
-from .protocol import (
-    P,
-    divide_by_linear,
-    group_queries,
-    lagrange_interpolate,
-    perm_chunks,
-    point_values,
-    poly_eval,
-    query_plan,
-    usable_row_count,
-    vanishing_poly,
-)
-from .transcript import Blake2bWrite
-
 
 def _pad(col: list[int], n: int) -> list[int]:
     return list(col) + [0] * (n - len(col))
@@ -66,26 +75,6 @@ def _blind(col: list[int], n: int, rng) -> list[int]:
     for r in range(n - BLINDING_FACTORS, n):
         out[r] = rng.randrange(P)
     return out
-
-
-def _grand_product(numer: list[int], denom: list[int], u: int, n: int, rng) -> list[int]:
-    """z[0]=1, z[i+1]=z[i]*numer[i]/denom[i] for i<u; blinding rows random."""
-    # batch invert denominators
-    pref = [1] * (u + 1)
-    for i in range(u):
-        pref[i + 1] = pref[i] * denom[i] % P
-    inv_all = pow(pref[u], -1, P)
-    inv = [0] * u
-    for i in range(u - 1, -1, -1):
-        inv[i] = pref[i] * inv_all % P
-        inv_all = inv_all * denom[i] % P
-    z = [0] * n
-    z[0] = 1
-    for i in range(u):
-        z[i + 1] = z[i] * numer[i] % P * inv[i] % P
-    for r in range(u + 1, n):
-        z[r] = rng.randrange(P)
-    return z
 
 
 def _permute_pair(a_vals: list[int], s_vals: list[int], u: int, n: int, rng):
@@ -114,6 +103,151 @@ def _permute_pair(a_vals: list[int], s_vals: list[int], u: int, n: int, rng):
     return a_p, s_p
 
 
+def _u16_cols(cols: list[list[int]], n: int) -> np.ndarray:
+    """Host int columns -> uint16[C, n, 16] canonical limb tensor (compact
+    upload format: half the bytes of the uint32 device layout)."""
+    if not cols:
+        return np.zeros((0, n, N_LIMBS), dtype=np.uint16)
+    flat: list[int] = []
+    for c in cols:
+        assert len(c) == n
+        flat.extend(c)
+    return ints_to_limbs(flat).astype(np.uint16).reshape(len(cols), n, N_LIMBS)
+
+
+class ProverRuntime:
+    """Per-(params, pk) device state + jitted FS-phase stage functions."""
+
+    def __init__(self, params: ParamsKZG, pk: ProvingKey):
+        self.params = params
+        self.pk = pk
+        vk = pk.vk
+        self.vk = vk
+        self.k = vk.k
+        self.n = 1 << vk.k
+        self.u = usable_row_count(self.n)
+        self.dom = get_domain(vk.k)
+        self.df = self.dom.df
+        n, u, dom, df = self.n, self.u, self.dom, self.df
+
+        # --- per-pk device tables (one-time) -------------------------------
+        t0 = _time.time()
+        ncols = len(vk.perm_columns)
+        self.nchunks = len(perm_chunks(ncols))
+
+        fixed_host = {
+            "sel": pk.selectors,
+            "fix": pk.fixed_cols,
+            "sigma": pk.perm_values,
+            "table": [pk.table_col] if pk.table_col is not None else [],
+        }
+        stacked = []
+        self._tbl_index: dict[str, int] = {}
+        for fam, cols in fixed_host.items():
+            for i, c in enumerate(cols):
+                self._tbl_index[f"{fam}{i}" if fam != "table" else "table"] = len(stacked)
+                stacked.append(_pad(c, n))
+        tbl_u16 = jnp.asarray(_u16_cols(stacked, n))
+
+        @jax.jit
+        def _prep(tblq):
+            lag = df._to_mont(tblq.astype(jnp.uint32))
+            coeff = dom.ntt.inverse(lag)
+            ext = dom.coset_ntt.forward(_pad_coeff(coeff, dom.n_ext))
+            return lag, coeff, ext
+
+        self.tbl_lag, self.tbl_coeff, self.tbl_ext = _prep(tbl_u16)
+
+        # domain constants on the extended coset
+        l0 = [0] * n
+        l0[0] = 1
+        llast = [0] * n
+        llast[u] = 1
+        lact = [1 if r < u else 0 for r in range(n)]
+        consts_u16 = jnp.asarray(_u16_cols([l0, llast, lact], n))
+
+        @jax.jit
+        def _prep_consts(cq):
+            lag = df._to_mont(cq.astype(jnp.uint32))
+            return dom.coset_ntt.forward(_pad_coeff(dom.ntt.inverse(lag), dom.n_ext))
+
+        self.l0_e, self.llast_e, self.lact_e = _prep_consts(consts_u16)
+        # X on the coset: poly with coeffs [0, 1]
+        xp = jnp.zeros((dom.n_ext, N_LIMBS), jnp.uint32).at[1].set(jnp.asarray(df.ONE_MONT))
+        self.x_poly_e = jax.jit(dom.coset_ntt.forward)(xp)
+        self.omega_dev = dom.omega_pows_dev()
+        # force the SRS base tensors onto the device eagerly (outside any jit)
+        params.affine_bases()
+        params.affine_lagrange_bases()
+
+        self._stages: dict[str, object] = {}
+        if _DEBUG:
+            _stage("runtime init", t0)
+
+    # --- helpers -----------------------------------------------------------
+    def tbl(self, kind: str, label: str):
+        t = {"lag": self.tbl_lag, "coeff": self.tbl_coeff, "ext": self.tbl_ext}[kind]
+        return t[self._tbl_index[label]]
+
+    def jit(self, name: str, fn):
+        if name not in self._stages:
+            self._stages[name] = jax.jit(fn)
+        return self._stages[name]
+
+
+def _pad_coeff(coeff, n_ext):
+    """[..., n, 16] coeffs -> zero-padded [..., n_ext, 16]."""
+    pad = [(0, 0)] * coeff.ndim
+    pad[-2] = (0, n_ext - coeff.shape[-2])
+    return jnp.pad(coeff, pad)
+
+
+def _affine_canonical(dc, pts):
+    """[C] Jacobian -> (x_limbs, y_limbs, inf) canonical uint32[C, 16]."""
+    df = dc.df
+    X, Y, Z = pts
+    inf = df.is_zero(Z)
+    zinv = df._batch_inv(Z)
+    zi2 = df._mont_mul(zinv, zinv)
+    ax = df._mont_mul(X, zi2)
+    ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
+    return df._from_mont(ax), df._from_mont(ay), inf
+
+
+def _host_points(dc, got) -> list:
+    """Device (x_limbs, y_limbs, inf) -> host affine points (None=identity)."""
+    from ..ops.limbs import limbs_to_ints
+
+    ax, ay, inf = (np.asarray(t) for t in (jax.device_get(got[0]), jax.device_get(got[1]), jax.device_get(got[2])))
+    xs = limbs_to_ints(ax.reshape(-1, N_LIMBS))
+    ys = limbs_to_ints(ay.reshape(-1, N_LIMBS))
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, inf.reshape(-1))]
+
+
+def _tree_sum(df, stack):
+    """Field sum along axis 0 of [m, ..., 16] (log-depth)."""
+    s = stack
+    while s.shape[0] > 1:
+        half = s.shape[0] // 2
+        red = df._add(s[:half], s[half : 2 * half])
+        if s.shape[0] % 2:
+            red = jnp.concatenate([df._add(red[:1], s[-1:]), red[1:]], axis=0)
+        s = red
+    return s[0]
+
+
+def _tree_prod(df, stack):
+    """Field product along axis 0 of [m, ..., 16] (log-depth)."""
+    s = stack
+    while s.shape[0] > 1:
+        half = s.shape[0] // 2
+        red = df._mont_mul(s[:half], s[half : 2 * half])
+        if s.shape[0] % 2:
+            red = jnp.concatenate([df._mont_mul(red[:1], s[-1:]), red[1:]], axis=0)
+        s = red
+    return s[0]
+
+
 def create_proof(
     params: ParamsKZG,
     pk: ProvingKey,
@@ -124,7 +258,6 @@ def create_proof(
     vk = pk.vk
     k = vk.k
     n = 1 << k
-    dom = get_domain(k)
     u = usable_row_count(n)
     rng = _random.Random(("create-proof-blinding", seed).__repr__())
     _t = _time.time()
@@ -140,417 +273,502 @@ def create_proof(
         "prover; allocate a lookup advice column (num_advice >= 2)"
     )
 
-    # --- column values (host ints, length n) ---
+    rt: ProverRuntime = getattr(pk, "_runtime", None)
+    if rt is None or rt.params is not params:
+        rt = ProverRuntime(params, pk)
+        pk._runtime = rt
+    dom, df = rt.dom, rt.df
+    dc = params.device_curve()
+    na, nl, ncols = vk.num_advice, vk.num_lookup, len(vk.perm_columns)
+    nchunks = rt.nchunks
+
+    # --- host column values (length n ints) --------------------------------
     phase0 = circuit.phases[0] if circuit.phases else None
     advice_vals = []
-    for i in range(vk.num_advice):
+    for i in range(na):
         col = phase0.columns[i] if phase0 and i < len(phase0.columns) else []
         advice_vals.append(_blind(col, n, rng))
     lookup_vals = []
     lkcols = circuit.lookup_cols[0] if circuit.lookup_cols else []
-    for j in range(vk.num_lookup):
+    for j in range(nl):
         col = lkcols[j] if j < len(lkcols) else []
         lookup_vals.append(_blind(col, n, rng))
     instance_vals = [_pad(col, n) for col in instances]
     while len(instance_vals) < vk.num_instance:
         instance_vals.append([0] * n)
 
-    # --- transcript init ---
+    # --- transcript init ---------------------------------------------------
     tr = Blake2bWrite()
     tr.common_bytes(vk.hash())
     for col in instances:
         for v in col:
             tr.common_scalar(v)
-
-    # --- helpers: commit a Lagrange-basis column on device ---
-    poly_cache: dict[str, object] = {}  # label -> device coeffs [n,16]
-
-    def to_coeffs(vals: list[int]):
-        return dom.lagrange_to_coeff(dom.pack(vals))
-
-    def commit_vals(label: str, vals: list[int]):
-        coeffs = to_coeffs(vals)
-        poly_cache[label] = coeffs
-        poly_cache["__lag_" + label] = dom.pack(vals)
-        return params.commit_dev(coeffs, dom.df)
-
     _t = _stage("setup", _t)
-    # --- 1. advice commitments ---
-    for i, vals in enumerate(advice_vals):
-        tr.write_point(commit_vals(f"adv{i}", vals))
-    for j, vals in enumerate(lookup_vals):
-        tr.write_point(commit_vals(f"lkcol{j}", vals))
 
+    # === phase 1: advice + lookup-column commitments =======================
+    adv_u16 = jnp.asarray(_u16_cols(advice_vals + lookup_vals + instance_vals, n))
+
+    def s1(cols_u16):
+        lag = df._to_mont(cols_u16.astype(jnp.uint32))
+        com = params.commit_many_inside(df, lag[: na + nl], True)
+        return lag, _affine_canonical(dc, com)
+
+    lag_all, com1 = rt.jit("s1", s1)(adv_u16)
+    for pt in _host_points(dc, com1):
+        tr.write_point(pt)
+    adv_lag = lag_all[:na]
+    lk_lag = lag_all[na : na + nl]
+    inst_lag = lag_all[na + nl :]
     _t = _stage("advice commits", _t)
+
     tr.squeeze_challenge()  # theta (single-expression lookups; structural)
 
-    # --- 2. lookup permuted columns ---
-    lookup_permuted = []
-    for j in range(vk.num_lookup):
+    # === phase 2: lookup permuted columns ==================================
+    permuted_host = []
+    for j in range(nl):
         a_p, s_p = _permute_pair(lookup_vals[j], pk.table_col, u, n, rng)
-        lookup_permuted.append((a_p, s_p))
-        tr.write_point(commit_vals(f"lk{j}_a", a_p))
-        tr.write_point(commit_vals(f"lk{j}_s", s_p))
+        permuted_host.extend([a_p, s_p])
+    perm_u16 = jnp.asarray(_u16_cols(permuted_host, n))
 
+    def s2(cols_u16):
+        lag = df._to_mont(cols_u16.astype(jnp.uint32))
+        if lag.shape[0] == 0:
+            return lag, (jnp.zeros((0, N_LIMBS), jnp.uint32),) * 2 + (jnp.zeros((0,), bool),)
+        com = params.commit_many_inside(df, lag, True)
+        return lag, _affine_canonical(dc, com)
+
+    permuted_lag, com2 = rt.jit("s2", s2)(perm_u16)
+    for pt in _host_points(dc, com2):
+        tr.write_point(pt)
     _t = _stage("lookup permuted", _t)
+
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
 
-    # --- 3. permutation grand products (device) ---
-    perm_cols = vk.perm_columns
-    chunks = perm_chunks(len(perm_cols))
-    df = dom.df
-    W = dom.omega_pows_dev()
-    gamma_h = dom.const_h(gamma)
-    row_idx = jnp.arange(n)
+    # === phase 3: permutation + lookup grand products + random poly ========
+    # host scalars for the identity side: beta * delta^ci
+    beta_deltas = [beta * pow(DELTA, ci, P) % P for ci in range(ncols)]
+    # blinding rows for the z columns and the random column (in one upload)
+    zblind = [[rng.randrange(P) for _ in range(n - u - 1)] for _ in range(nchunks + nl)]
+    random_lag_vals = [rng.randrange(P) for _ in range(n)]
+    scal3 = dom.pack([beta, gamma] + beta_deltas)  # [2 + ncols, 16]
+    zb_u16 = jnp.asarray(_u16_cols(zblind, n - u - 1)) if zblind else jnp.zeros((0, n - u - 1, N_LIMBS), jnp.uint16)
+    rand_u16 = jnp.asarray(_u16_cols([random_lag_vals], n))
 
-    def lag_dev(label: str, vals: list[int]):
-        key = "__lag_" + label
-        if key not in poly_cache:
-            poly_cache[key] = dom.pack(vals)
-        return poly_cache[key]
+    sigma_lag = jnp.stack([rt.tbl("lag", f"sigma{ci}") for ci in range(ncols)]) if ncols else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
+    fixed_lag = jnp.stack([rt.tbl("lag", f"fix{i}") for i in range(vk.num_fixed)]) if vk.num_fixed else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
+    table_lag = rt.tbl("lag", "table") if pk.table_col is not None else None
+    row_lt_u = (jnp.arange(n) < u)[:, None]
 
-    def col_lag(ref):
-        if ref.kind == "advice":
-            return lag_dev(f"adv{ref.index}", advice_vals[ref.index])
-        if ref.kind == "lookup":
-            return lag_dev(f"lkcol{ref.index}", lookup_vals[ref.index])
-        if ref.kind == "fixed":
-            return lag_dev(f"fix{ref.index}", pk.fixed_cols[ref.index])
-        if ref.kind == "instance":
-            return lag_dev(f"inst{ref.index}", instance_vals[ref.index])
-        raise ValueError(ref.kind)
+    def _perm_value_stack(adv_lag, lk_lag, inst_lag):
+        parts = []
+        if na:
+            parts.append(adv_lag)
+        if nl:
+            parts.append(lk_lag)
+        if vk.num_fixed:
+            parts.append(fixed_lag)
+        if vk.num_instance:
+            parts.append(inst_lag)
+        return jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
 
-    def grand_product_dev(numer_dev, denom_dev):
-        """z = exclusive prefix prod of numer/denom on rows < u; random blind."""
-        ratio = df.mont_mul(numer_dev, df.batch_inv(denom_dev))
-        one_h = dom.const_h(1)
-        mask = (row_idx < u)[:, None]
-        ratio = jnp.where(mask, ratio, one_h)
-        pref = dom.prefix_prod(ratio)
-        z = jnp.concatenate([one_h[:1], pref[:-1]], axis=0)
-        blind = dom.pack([rng.randrange(P) for _ in range(n - u - 1)])
-        return z.at[u + 1 :].set(blind)
+    def _grand_products(ratio, zb):
+        """ratio [C, n] (rows >= u already 1) -> z [C, n] with blinding."""
+        incl = jax.lax.associative_scan(df._mont_mul, ratio, axis=1)
+        one = df.one_mont((ratio.shape[0], 1))
+        z = jnp.concatenate([one, incl[:, :-1]], axis=1)
+        return z, incl
 
-    def commit_lag(label: str, lag):
-        coeffs = dom.lagrange_to_coeff(lag)
-        poly_cache[label] = coeffs
-        poly_cache["__lag_" + label] = lag
-        return params.commit_dev(coeffs, df)
+    def s3(adv_lag, lk_lag, inst_lag, permuted_lag, scal, zb_u16, rand_u16):
+        beta_h = jnp.broadcast_to(scal[0], (n, N_LIMBS))
+        gamma_h = jnp.broadcast_to(scal[1], (n, N_LIMBS))
+        zb = df._to_mont(zb_u16.astype(jnp.uint32))
+        rand_lag = df._to_mont(rand_u16.astype(jnp.uint32))
+        zcols = []
+        if ncols:
+            vals = _perm_value_stack(adv_lag, lk_lag, inst_lag)  # [ncols, n]
+            bd = scal[2:]  # [ncols, 16]
+            id_side = df._add(df._add(vals, df._mont_mul(rt.omega_dev[None], bd[:, None])), gamma_h)
+            sig_side = df._add(df._add(vals, df._mont_mul(sigma_lag, scal[0])), gamma_h)
+            # chunk products (pad to nchunks * PERM_CHUNK with ones)
+            width = perm_chunks(ncols)[0][1] - perm_chunks(ncols)[0][0]
+            total = nchunks * width
+            onepad = df.one_mont((total - ncols, n))
+            id_p = jnp.concatenate([id_side, onepad], 0).reshape(nchunks, width, n, N_LIMBS)
+            sig_p = jnp.concatenate([sig_side, onepad], 0).reshape(nchunks, width, n, N_LIMBS)
+            numer = _tree_prod(df, id_p.swapaxes(0, 1))
+            denom = _tree_prod(df, sig_p.swapaxes(0, 1))
+            inv = df._batch_inv(denom.reshape(-1, N_LIMBS)).reshape(denom.shape)
+            ratio = df._mont_mul(numer, inv)
+            ratio = jnp.where(row_lt_u[None], ratio, df.one_mont(ratio.shape[:-1]))
+            z, incl = _grand_products(ratio, None)
+            # chain chunks: scale_j = prod_{j' < j} z_{j'}[u]
+            ends = incl[:, u - 1] if u > 0 else df.one_mont((nchunks,))
+            scale_incl = jax.lax.associative_scan(df._mont_mul, ends, axis=0)
+            scale = jnp.concatenate([df.one_mont((1,)), scale_incl[:-1]], axis=0)
+            z = jnp.where(row_lt_u[None] | (jnp.arange(n) == u)[None, :, None],
+                          df._mont_mul(z, scale[:, None]), z)
+            z = z.at[:, u + 1 :].set(zb[:nchunks])
+            zcols.append(z)
+        if nl:
+            a_in = lk_lag
+            a_p = permuted_lag[0::2]
+            s_p = permuted_lag[1::2]
+            t_in = jnp.broadcast_to(table_lag[None], (nl, n, N_LIMBS))
+            numer = df._mont_mul(df._add(a_in, beta_h), df._add(t_in, gamma_h))
+            denom = df._mont_mul(df._add(a_p, beta_h), df._add(s_p, gamma_h))
+            inv = df._batch_inv(denom.reshape(-1, N_LIMBS)).reshape(denom.shape)
+            ratio = df._mont_mul(numer, inv)
+            ratio = jnp.where(row_lt_u[None], ratio, df.one_mont(ratio.shape[:-1]))
+            zl, _ = _grand_products(ratio, None)
+            zl = zl.at[:, u + 1 :].set(zb[nchunks:])
+            zcols.append(zl)
+        allz = jnp.concatenate(zcols + [rand_lag], axis=0) if zcols else rand_lag
+        com = params.commit_many_inside(df, allz, True)
+        return allz, _affine_canonical(dc, com)
 
-    last_z_end = 1
-    for j, (s, e) in enumerate(chunks):
-        numer = dom.const_h(1)
-        denom = dom.const_h(1)
-        for ci in range(s, e):
-            v = col_lag(perm_cols[ci])
-            sigma = lag_dev(f"sigma{ci}", pk.perm_values[ci])
-            bd = beta * pow(DELTA, ci, P) % P
-            id_side = df.add(df.add(v, df.mont_mul(W, dom.pack([bd])[0])), gamma_h)
-            sig_side = df.add(
-                df.add(v, df.mont_mul(sigma, dom.pack([beta])[0])), gamma_h
-            )
-            numer = df.mont_mul(numer, id_side)
-            denom = df.mont_mul(denom, sig_side)
-        # Z(wX)*sigma_side = Z(X)*id_side -> z[i+1] = z[i] * id[i] / sigma[i]
-        z = grand_product_dev(numer, denom)
-        if j > 0:
-            scaled = df.mont_mul(z, dom.pack([last_z_end])[0])
-            z = jnp.where((row_idx <= u)[:, None], scaled, z)
-        last_z_end = dom.unpack(z[u])[0]
-        tr.write_point(commit_lag(f"permz{j}", z))
-
-    # --- lookup grand products (device) ---
-    for j in range(vk.num_lookup):
-        a_p, s_p = lookup_permuted[j]
-        a_in = lag_dev(f"lkcol{j}", lookup_vals[j])
-        t_in = lag_dev("table", pk.table_col)
-        beta_h = dom.const_h(beta)
-        numer = df.mont_mul(df.add(a_in, beta_h), df.add(t_in, gamma_h))
-        denom = df.mont_mul(
-            df.add(lag_dev(f"lk{j}_a", a_p), beta_h),
-            df.add(lag_dev(f"lk{j}_s", s_p), gamma_h),
-        )
-        z = grand_product_dev(numer, denom)
-        tr.write_point(commit_lag(f"lk{j}_zl", z))
-
+    allz_lag, com3 = rt.jit("s3", s3)(
+        adv_lag, lk_lag, inst_lag, permuted_lag, scal3, zb_u16, rand_u16
+    )
+    for pt in _host_points(dc, com3):
+        tr.write_point(pt)
+    permz_lag = allz_lag[:nchunks]
+    lkz_lag = allz_lag[nchunks : nchunks + nl]
+    rand_lag = allz_lag[nchunks + nl :]
     _t = _stage("grand products", _t)
-    # --- 4. vanishing random poly ---
-    random_coeffs = [rng.randrange(P) for _ in range(n)]
-    random_commit = params.commit(random_coeffs)
-    poly_cache["random"] = dom.pack(random_coeffs)
-    tr.write_point(random_commit)
 
     y = tr.squeeze_challenge()
 
-    # --- 5. quotient on the extended coset (device) ---
-    h_coeffs_dev = _compute_quotient(
-        dom, vk, pk, poly_cache, instance_vals, beta, gamma, y, u
-    )
-    # split into CS_DEGREE-1 = 3 pieces of n coefficients
-    pieces_dev = [h_coeffs_dev[i * n : (i + 1) * n] for i in range(3)]
-    for piece in pieces_dev:
-        tr.write_point(params.commit_dev(piece, dom.df))
+    # === phase 4: quotient on the extended coset ===========================
+    K_gates = na
+    K_perm = (2 + (nchunks - 1) + nchunks) if nchunks else 0
+    K_lk = 5 * nl
+    K = K_gates + K_perm + K_lk
 
+    def s4(adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, scal, ych):
+        # batched IFFT of every runtime column; coeffs are reused by later stages
+        runtime_lag = jnp.concatenate(
+            [adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag], axis=0
+        )
+        coeffs = dom.ntt.inverse(runtime_lag)
+        ext = dom.coset_ntt.forward(_pad_coeff(coeffs, dom.n_ext))
+        ne = dom.n_ext
+        o = 0
+        adv_e, o = ext[o : o + na], o + na
+        lk_e, o = ext[o : o + nl], o + nl
+        inst_e, o = ext[o : o + vk.num_instance], o + vk.num_instance
+        perm_e, o = ext[o : o + 2 * nl], o + 2 * nl
+        permz_e, o = ext[o : o + nchunks], o + nchunks
+        lkz_e, o = ext[o : o + nl], o + nl
+
+        beta_e = jnp.broadcast_to(scal[0], (ne, N_LIMBS))
+        gamma_e = jnp.broadcast_to(scal[1], (ne, N_LIMBS))
+        one_e = df.one_mont((ne,))
+        exprs = []
+
+        def rot(t, r):
+            return jnp.roll(t, -4 * r, axis=-2)
+
+        # 1. gates
+        if na:
+            sel_e = jnp.stack([rt.tbl("ext", f"sel{i}") for i in range(na)])
+            g = df._sub(
+                df._add(adv_e, df._mont_mul(rot(adv_e, 1), rot(adv_e, 2))),
+                rot(adv_e, 3),
+            )
+            gate_e = df._mont_mul(sel_e, g)
+            exprs.extend(gate_e[i] for i in range(na))
+
+        # 2. permutation
+        if nchunks:
+            exprs.append(df._mont_mul(rt.l0_e, df._sub(one_e, permz_e[0])))
+            zl = permz_e[-1]
+            exprs.append(df._mont_mul(rt.llast_e, df._sub(df._mont_mul(zl, zl), zl)))
+            for j in range(1, nchunks):
+                zprev_rot = rot(permz_e[j - 1], u)
+                exprs.append(df._mont_mul(rt.l0_e, df._sub(permz_e[j], zprev_rot)))
+
+            parts = []
+            if na:
+                parts.append(adv_e)
+            if nl:
+                parts.append(lk_e)
+            if vk.num_fixed:
+                parts.append(jnp.stack([rt.tbl("ext", f"fix{i}") for i in range(vk.num_fixed)]))
+            if vk.num_instance:
+                parts.append(inst_e)
+            vals_e = jnp.concatenate(parts, axis=0)  # [ncols, ne]
+            sigma_e = jnp.stack([rt.tbl("ext", f"sigma{ci}") for ci in range(ncols)])
+            bd = scal[2:]
+            left_f = df._add(df._add(vals_e, df._mont_mul(sigma_e, scal[0])), gamma_e)
+            right_f = df._add(
+                df._add(vals_e, df._mont_mul(rt.x_poly_e[None], bd[:, None])), gamma_e
+            )
+            width = perm_chunks(ncols)[0][1] - perm_chunks(ncols)[0][0]
+            total = nchunks * width
+            onep = df.one_mont((total - ncols, ne))
+            lf = jnp.concatenate([left_f, onep], 0).reshape(nchunks, width, ne, N_LIMBS)
+            rf = jnp.concatenate([right_f, onep], 0).reshape(nchunks, width, ne, N_LIMBS)
+            left = df._mont_mul(rot(permz_e, 1), _tree_prod(df, lf.swapaxes(0, 1)))
+            right = df._mont_mul(permz_e, _tree_prod(df, rf.swapaxes(0, 1)))
+            chunk_e = df._mont_mul(rt.lact_e[None], df._sub(left, right))
+            exprs.extend(chunk_e[j] for j in range(nchunks))
+
+        # 3. lookups
+        if nl:
+            t_e = rt.tbl("ext", "table")
+            a_p_e = perm_e[0::2]
+            s_p_e = perm_e[1::2]
+            l0b = jnp.broadcast_to(rt.l0_e[None], (nl, ne, N_LIMBS))
+            llb = jnp.broadcast_to(rt.llast_e[None], (nl, ne, N_LIMBS))
+            lab = jnp.broadcast_to(rt.lact_e[None], (nl, ne, N_LIMBS))
+            e1 = df._mont_mul(l0b, df._sub(df.one_mont((nl, ne)), lkz_e))
+            e2 = df._mont_mul(llb, df._sub(df._mont_mul(lkz_e, lkz_e), lkz_e))
+            left = df._mont_mul(
+                df._mont_mul(rot(lkz_e, 1), df._add(a_p_e, beta_e)),
+                df._add(s_p_e, gamma_e),
+            )
+            right = df._mont_mul(
+                df._mont_mul(lkz_e, df._add(lk_e, beta_e)),
+                df._add(t_e[None], gamma_e),
+            )
+            e3 = df._mont_mul(lab, df._sub(left, right))
+            diff = df._sub(a_p_e, s_p_e)
+            e4 = df._mont_mul(l0b, diff)
+            e5 = df._mont_mul(
+                df._mont_mul(lab, diff), df._sub(a_p_e, rot(a_p_e, -1))
+            )
+            for j in range(nl):
+                exprs.extend([e1[j], e2[j], e3[j], e4[j], e5[j]])
+
+        assert len(exprs) == K
+        stack = jnp.stack(exprs)  # [K, ne, 16]
+        ypows = dom.pows_of(ych, K)[::-1]  # y^{K-1} ... y^0
+        acc = _tree_sum(df, df._mont_mul(stack, ypows[:, None]))
+        h_ext = df._mont_mul(acc, dom.zh_inv_ext)
+        h_coeffs = dom.coset_ntt.inverse(h_ext)
+        top_zero = jnp.all(h_coeffs[3 * n :] == 0)
+        pieces = h_coeffs[: 3 * n].reshape(3, n, N_LIMBS)
+        com = params.commit_many_inside(df, pieces, False)
+        return coeffs, pieces, top_zero, _affine_canonical(dc, com)
+
+    ych = dom.pack([y])[0]
+    runtime_coeffs, h_pieces, top_zero, com4 = rt.jit("s4", s4)(
+        adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, scal3, ych
+    )
+    for pt in _host_points(dc, com4):
+        tr.write_point(pt)
     _t = _stage("quotient", _t)
+    assert bool(top_zero), "quotient degree overflow"
+
     x = tr.squeeze_challenge()
     pts = point_values(x, k)
-
-    # --- 6. evals (device: batched power-dot at each point) ---
     plan = query_plan(vk)
 
-    def coeffs_dev_of(label: str):
-        if label in poly_cache:
-            return poly_cache[label]
-        if label.startswith("sigma"):
-            c = to_coeffs(pk.perm_values[int(label[5:])])
-        elif label.startswith("fix"):
-            c = to_coeffs(pk.fixed_cols[int(label[3:])])
-        elif label.startswith("sel"):
-            c = to_coeffs(pk.selectors[int(label[3:])])
-        elif label == "table":
-            c = to_coeffs(pk.table_col)
-        elif label == "h":
-            # combined h poly: sum x^{n i} h_i (device RLC of the 3 pieces)
-            xc = pow(x, n, P)
-            acc = pieces_dev[0]
-            scale = xc
-            for piece in pieces_dev[1:]:
-                sc = dom.pack([scale])[0]
-                acc = dom.df.add(acc, dom.df.mont_mul(piece, sc))
-                scale = scale * xc % P
-            c = acc
-        else:
-            raise KeyError(label)
-        poly_cache[label] = c
-        return c
+    # label -> (source, index) for coefficient/lagrange stacks
+    def _src(label):
+        o_adv, o_lk = 0, na
+        o_inst = na + nl
+        o_perm = o_inst + vk.num_instance
+        o_permz = o_perm + 2 * nl
+        o_lkz = o_permz + nchunks
+        o_rand = o_lkz + nl
+        if label.startswith("adv"):
+            return ("rt", o_adv + int(label[3:]))
+        if label.startswith("lkcol"):
+            return ("rt", o_lk + int(label[5:]))
+        if label.startswith("permz"):
+            return ("rt", o_permz + int(label[5:]))
+        if label.startswith("lk") and label.endswith("_zl"):
+            return ("rt", o_lkz + int(label[2:-3]))
+        if label.startswith("lk") and label.endswith("_a"):
+            return ("rt", o_perm + 2 * int(label[2:-2]))
+        if label.startswith("lk") and label.endswith("_s"):
+            return ("rt", o_perm + 2 * int(label[2:-2]) + 1)
+        if label == "random":
+            return ("rt", o_rand)
+        if label == "h":
+            return ("h", 0)
+        return ("tbl", rt._tbl_index[label])
 
-    # evaluate every opened poly at every needed point in one batched call/pt
-    by_point: dict[str, list[str]] = {}
-    for label, pts_labels in plan:
-        for pl in pts_labels:
-            by_point.setdefault(pl, []).append(label)
-    evals: dict[str, dict[str, int]] = {label: {} for label, _ in plan}
-    for pl, labels in by_point.items():
-        stack = jnp.stack([coeffs_dev_of(lb) for lb in labels])
-        vals = dom.eval_many_at(stack, pts[pl])
-        for lb, ev in zip(labels, vals):
-            evals[lb][pl] = ev
+    # === phase 5: evals ====================================================
+    point_list = sorted({pl for _, pls in plan for pl in pls})
+    by_point = {pl: [lb for lb, pls in plan if pl in pls] for pl in point_list}
+
+    # h(x) combine scalars computed on host (tiny)
+    xc = pow(x, n, P)
+    h_scal = dom.pack([1, xc, xc * xc % P])  # [3, 16]
+
+    def s5_fn(runtime_coeffs, h_pieces, pt_scalars, h_scal):
+        h_comb = _tree_sum(df, df._mont_mul(h_pieces, h_scal[:, None]))
+        evals_out = []
+        for pi, pl in enumerate(point_list):
+            labels = by_point[pl]
+            stack = []
+            for lb in labels:
+                src, idx = _src(lb)
+                if src == "rt":
+                    stack.append(runtime_coeffs[idx])
+                elif src == "h":
+                    stack.append(h_comb)
+                else:
+                    stack.append(rt.tbl_coeff[idx])
+            stack = jnp.stack(stack)  # [L, n, 16]
+            xp = dom.pows_of(pt_scalars[pi], n)
+            vals = _tree_sum(df, df._mont_mul(stack, xp[None]).swapaxes(0, 1))
+            evals_out.append(df._from_mont(vals))
+        return evals_out
+
+    pt_scalars = dom.pack([pts[pl] for pl in point_list])
+    eval_tensors = rt.jit("s5", s5_fn)(runtime_coeffs, h_pieces, pt_scalars, h_scal)
+    from ..ops.limbs import limbs_to_ints
+
+    evals: dict[str, dict[str, int]] = {lb: {} for lb, _ in plan}
+    for pi, pl in enumerate(point_list):
+        vals = limbs_to_ints(np.asarray(jax.device_get(eval_tensors[pi])))
+        for lb, v in zip(by_point[pl], vals):
+            evals[lb][pl] = v
     for label, pts_labels in plan:
         for pl in pts_labels:
             tr.write_scalar(evals[label][pl])
-
     _t = _stage("evals", _t)
-    # --- 7. SHPLONK multiopen (evaluation form on H; single IFFTs) ---
+
+    # === phase 6: SHPLONK h_open ===========================================
     v = tr.squeeze_challenge()
     w_ch = tr.squeeze_challenge()
     groups = group_queries(plan)
-    df = dom.df
-    W = dom.omega_pows_dev()  # [n,16] domain points (Montgomery)
 
-    def lagrange_dev_of(label: str):
-        # Lagrange (evaluation) form on H of an opened poly
-        key = "__lag_" + label
-        if key in poly_cache:
-            return poly_cache[key]
-        e = dom.coeff_to_lagrange(coeffs_dev_of(label))
-        poly_cache[key] = e
-        return e
-
-    g_eval_forms = []
-    g_evals = []  # per group: {point_label: scalar eval}
+    # host: per-group v-RLC'd evals and low-degree interpolants r_j
+    g_evals = []
+    r_coeffs_per_group = []
     for pts_labels, labels in groups:
-        acc = None
         ge = {pl: 0 for pl in pts_labels}
         vpow = 1
         for label in labels:
-            e = lagrange_dev_of(label)
-            sc = dom.pack([vpow])[0]
-            term = df.mont_mul(e, sc)
-            acc = term if acc is None else df.add(acc, term)
             for pl in pts_labels:
                 ge[pl] = (ge[pl] + vpow * evals[label][pl]) % P
             vpow = vpow * v % P
-        g_eval_forms.append(acc)
         g_evals.append(ge)
-
-    # H = sum_j w^j (g_j - r_j) / Z_{S_j}, computed pointwise on H
-    # (S_j points are challenge-derived, never in H, so Z_{S_j} != 0 on H)
-    h_acc = None
-    wpow = 1
-    r_coeffs_per_group = []
-    for (pts_labels, _), gdev, ge in zip(groups, g_eval_forms, g_evals):
         pvals = [pts[pl] for pl in pts_labels]
-        r = lagrange_interpolate(pvals, [ge[pl] for pl in pts_labels])
-        r_coeffs_per_group.append(r)
-        # r on H via Horner (deg <= 3)
-        r_dev = dom.const_h(r[-1])
-        for cv in reversed(r[:-1]):
-            r_dev = df.add(df.mont_mul(r_dev, W), dom.const_h(cv))
-        num = df.sub(gdev, r_dev)
-        # Z_S on H
-        zs = None
-        for s in pvals:
-            f = df.sub(W, dom.const_h(s))
-            zs = f if zs is None else df.mont_mul(zs, f)
-        inv_zs = df.batch_inv(zs)
-        quot = df.mont_mul(num, inv_zs)
-        term = df.mont_mul(quot, dom.pack([wpow])[0])
-        h_acc = term if h_acc is None else df.add(h_acc, term)
-        wpow = wpow * w_ch % P
-    h_open_coeffs = dom.lagrange_to_coeff(h_acc)
-    h_open_commit = params.commit_dev(h_open_coeffs, df)
-    tr.write_point(h_open_commit)
+        r_coeffs_per_group.append(lagrange_interpolate(pvals, [ge[pl] for pl in pts_labels]))
+
+    # device scalars: per group v-powers, w-powers, r coeffs, point values
+    max_labels = max(len(labels) for _, labels in groups)
+    max_pts = max(len(pls) for pls, _ in groups)
+    vpow_mat = []
+    r_mat = []
+    s_mat = []
+    wpows = []
+    wp = 1
+    for gi, (pts_labels, labels) in enumerate(groups):
+        vp = [pow(v, i, P) for i in range(len(labels))] + [0] * (max_labels - len(labels))
+        vpow_mat.extend(vp)
+        r = r_coeffs_per_group[gi]
+        r_mat.extend(list(r) + [0] * (max_pts - len(r)))
+        s_mat.extend([pts[pl] for pl in pts_labels] + [1] * (max_pts - len(pts_labels)))
+        wpows.append(wp)
+        wp = wp * w_ch % P
+    ngroups = len(groups)
+    vpow_dev = dom.pack(vpow_mat)  # [ngroups * max_labels, 16]
+    r_dev = dom.pack(r_mat)
+    s_dev = dom.pack(s_mat)
+    w_dev = dom.pack(wpows)
+    npts_per_group = [len(pls) for pls, _ in groups]
+
+    # lagrange forms needed per group (from runtime lag tensors + pk tables)
+    group_label_srcs = [
+        [_src(lb) for lb in labels] for _, labels in groups
+    ]
+
+    def s6(adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
+           vpow_dev, r_dev, s_dev, w_dev):
+        runtime_lag = jnp.concatenate(
+            [adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag], axis=0
+        )
+        h_comb = _tree_sum(df, df._mont_mul(h_pieces, h_scal[:, None]))
+        h_lag = dom.ntt.forward(h_comb)
+        W = rt.omega_dev
+        g_forms = []
+        for gi, srcs in enumerate(group_label_srcs):
+            stack = []
+            for src, idx in srcs:
+                if src == "rt":
+                    stack.append(runtime_lag[idx])
+                elif src == "h":
+                    stack.append(h_lag)
+                else:
+                    stack.append(rt.tbl_lag[idx])
+            stack = jnp.stack(stack)
+            vp = vpow_dev[gi * max_labels : gi * max_labels + len(srcs)]
+            g = _tree_sum(df, df._mont_mul(stack, vp[:, None]))
+            g_forms.append(g)
+        gstack = jnp.stack(g_forms)  # [ngroups, n, 16]
+
+        # r_j on H (Horner, deg < max_pts) and Z_{S_j} on H
+        r_on_h = []
+        zs_on_h = []
+        for gi in range(ngroups):
+            r = r_dev[gi * max_pts : (gi + 1) * max_pts]
+            acc = jnp.broadcast_to(r[-1], (n, N_LIMBS))
+            for d in range(max_pts - 2, -1, -1):
+                acc = df._add(df._mont_mul(acc, W), r[d])
+            r_on_h.append(acc)
+            s = s_dev[gi * max_pts : (gi + 1) * max_pts]
+            zs = df._sub(W, jnp.broadcast_to(s[0], (n, N_LIMBS)))
+            for d in range(1, npts_per_group[gi]):
+                zs = df._mont_mul(zs, df._sub(W, jnp.broadcast_to(s[d], (n, N_LIMBS))))
+            zs_on_h.append(zs)
+        r_stack = jnp.stack(r_on_h)
+        zs_stack = jnp.stack(zs_on_h)
+        inv_zs = df._batch_inv(zs_stack.reshape(-1, N_LIMBS)).reshape(zs_stack.shape)
+        num = df._sub(gstack, r_stack)
+        terms = df._mont_mul(df._mont_mul(num, inv_zs), w_dev[:, None])
+        h_open = _tree_sum(df, terms)
+        h_open_coeffs = dom.ntt.inverse(h_open)
+        com = params.commit_many_inside(df, h_open_coeffs[None], False)
+        return gstack, h_open, _affine_canonical(dc, com)
+
+    gstack, h_open_lag, com6 = rt.jit("s6", s6)(
+        adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
+        vpow_dev, r_dev, s_dev, w_dev,
+    )
+    tr.write_point(_host_points(dc, com6)[0])
 
     u_ch = tr.squeeze_challenge()
 
-    # L = sum_j w^j Z_{T\S_j}(u) (g_j - r_j(u)) - Z_T(u) H   (on H)
+    # === phase 7: SHPLONK q ===============================================
     all_points = sorted({pts[pl] for plan_pts, _ in groups for pl in plan_pts})
     zt_u = poly_eval(vanishing_poly(all_points), u_ch)
-    L_acc = None
-    wpow = 1
-    for (pts_labels, _), gdev, r in zip(groups, g_eval_forms, r_coeffs_per_group):
+    scale_list = []
+    ru_list = []
+    wp = 1
+    for gi, (pts_labels, _) in enumerate(groups):
         pvals = [pts[pl] for pl in pts_labels]
         others = [pt for pt in all_points if pt not in pvals]
         z_other_u = poly_eval(vanishing_poly(others), u_ch)
-        r_u = poly_eval(r, u_ch)
-        scale = wpow * z_other_u % P
-        term = df.sub(gdev, dom.const_h(r_u))
-        term = df.mont_mul(term, dom.pack([scale])[0])
-        L_acc = term if L_acc is None else df.add(L_acc, term)
-        wpow = wpow * w_ch % P
-    L_acc = df.sub(L_acc, df.mont_mul(h_acc, dom.pack([zt_u])[0]))
-    # Q = L / (X - u), pointwise on H (u not in H)
-    inv_xu = df.batch_inv(df.sub(W, dom.const_h(u_ch)))
-    q_evals = df.mont_mul(L_acc, inv_xu)
-    q_coeffs = dom.lagrange_to_coeff(q_evals)
-    q_commit = params.commit_dev(q_coeffs, df)
-    tr.write_point(q_commit)
+        scale_list.append(wp * z_other_u % P)
+        ru_list.append(poly_eval(r_coeffs_per_group[gi], u_ch))
+        wp = wp * w_ch % P
+    scale_dev = dom.pack(scale_list)
+    ru_dev = dom.pack(ru_list)
+    ztu_dev = dom.pack([zt_u])
+    uch_dev = dom.pack([u_ch])
 
+    def s7(gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev):
+        W = rt.omega_dev
+        terms = df._mont_mul(
+            df._sub(gstack, jnp.broadcast_to(ru_dev[:, None], gstack.shape)),
+            scale_dev[:, None],
+        )
+        L_acc = _tree_sum(df, terms)
+        L_acc = df._sub(L_acc, df._mont_mul(h_open_lag, ztu_dev[0]))
+        inv_xu = df._batch_inv(df._sub(W, jnp.broadcast_to(uch_dev[0], (n, N_LIMBS))))
+        q_evals = df._mont_mul(L_acc, inv_xu)
+        q_coeffs = dom.ntt.inverse(q_evals)
+        com = params.commit_many_inside(df, q_coeffs[None], False)
+        return _affine_canonical(dc, com)
+
+    com7 = rt.jit("s7", s7)(gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev)
+    tr.write_point(_host_points(dc, com7)[0])
     _t = _stage("shplonk", _t)
     return tr.finalize()
-
-
-def _compute_quotient(dom, vk, pk, poly_cache, instance_vals, beta, gamma, y, u):
-    """All constraint expressions on the 4n coset, y-RLC'd, / Z_H. Device math.
-
-    Must follow protocol.expected_quotient_eval's ordering exactly. Expressions
-    are folded into the accumulator as they are produced (acc = acc*y + e) so
-    peak memory stays at a few extended columns.
-    """
-    n = dom.n
-
-    # extended evals of every needed poly
-    ext: dict[str, object] = {}
-
-    def ext_of(label: str, coeffs=None, vals=None):
-        if label in ext:
-            return ext[label]
-        if coeffs is None:
-            if vals is not None:
-                coeffs = dom.lagrange_to_coeff(dom.pack(vals))
-            elif label.startswith("inst"):
-                coeffs = dom.lagrange_to_coeff(dom.pack(instance_vals[int(label[4:])]))
-            else:
-                coeffs = poly_cache[label]
-        e = dom.coeff_to_extended(coeffs)
-        ext[label] = e
-        return e
-
-    # lagrange selector polys l_0, l_last, l_active on the coset
-    l0_vals = [0] * n
-    l0_vals[0] = 1
-    llast_vals = [0] * n
-    llast_vals[u] = 1
-    lactive_vals = [1 if r < u else 0 for r in range(n)]
-    l0_e = ext_of("__l0", vals=l0_vals)
-    llast_e = ext_of("__llast", vals=llast_vals)
-    lactive_e = ext_of("__lactive", vals=lactive_vals)
-
-    one_e = dom.const_ext(1)
-
-    # incremental y-RLC accumulator (Horner): acc = acc * y + expr
-    state = {"acc": dom.const_ext(0)}
-    y_e = dom.const_ext(y)
-
-    def emit(e):
-        state["acc"] = dom.add(dom.mul(state["acc"], y_e), e)
-
-    # 1. gates
-    for i in range(vk.num_advice):
-        q_e = ext_of(f"sel{i}", vals=pk.selectors[i])
-        a_e = ext_of(f"adv{i}")
-        a_w = dom.rotate_ext(a_e, 1)
-        a_w2 = dom.rotate_ext(a_e, 2)
-        a_w3 = dom.rotate_ext(a_e, 3)
-        expr = dom.sub(dom.add(a_e, dom.mul(a_w, a_w2)), a_w3)
-        emit(dom.mul(q_e, expr))
-
-    # 2. permutation
-    perm_cols = vk.perm_columns
-    chunks = perm_chunks(len(perm_cols))
-    if chunks:
-        z_exts = [ext_of(f"permz{j}") for j in range(len(chunks))]
-        emit(dom.mul(l0_e, dom.sub(one_e, z_exts[0])))
-        zl = z_exts[-1]
-        emit(dom.mul(llast_e, dom.sub(dom.mul(zl, zl), zl)))
-        for j in range(1, len(chunks)):
-            zprev_rot = dom.rotate_ext(z_exts[j - 1], u)
-            emit(dom.mul(l0_e, dom.sub(z_exts[j], zprev_rot)))
-
-        def col_ext(ref):
-            if ref.kind == "advice":
-                return ext_of(f"adv{ref.index}")
-            if ref.kind == "lookup":
-                return ext_of(f"lkcol{ref.index}")
-            if ref.kind == "fixed":
-                return ext_of(f"fix{ref.index}", vals=pk.fixed_cols[ref.index])
-            if ref.kind == "instance":
-                return ext_of(f"inst{ref.index}")
-            raise ValueError(ref.kind)
-
-        # X on the coset: values g * w_ext^i -> poly X has coeffs [0, 1]
-        x_poly = dom.coeff_to_extended(dom.pack([0, 1]))
-        beta_e = dom.const_ext(beta)
-        gamma_e = dom.const_ext(gamma)
-        for j, (s, e) in enumerate(chunks):
-            left = dom.rotate_ext(z_exts[j], 1)
-            right = z_exts[j]
-            for ci in range(s, e):
-                v_e = col_ext(perm_cols[ci])
-                sigma_e = ext_of(f"sigma{ci}", vals=pk.perm_values[ci])
-                left = dom.mul(left, dom.add(dom.add(v_e, dom.mul(beta_e, sigma_e)), gamma_e))
-                d_ci = pow(DELTA, ci, P)
-                id_term = dom.mul(dom.const_ext(beta * d_ci % P), x_poly)
-                right = dom.mul(right, dom.add(dom.add(v_e, id_term), gamma_e))
-            emit(dom.mul(lactive_e, dom.sub(left, right)))
-
-    # 3. lookups
-    for j in range(vk.num_lookup):
-        z_e = ext_of(f"lk{j}_zl")
-        z_w = dom.rotate_ext(z_e, 1)
-        a_p = ext_of(f"lk{j}_a")
-        a_p_prev = dom.rotate_ext(a_p, -1)
-        s_p = ext_of(f"lk{j}_s")
-        a_in = ext_of(f"lkcol{j}")
-        t_in = ext_of("table", vals=pk.table_col)
-        beta_e = dom.const_ext(beta)
-        gamma_e = dom.const_ext(gamma)
-        emit(dom.mul(l0_e, dom.sub(one_e, z_e)))
-        emit(dom.mul(llast_e, dom.sub(dom.mul(z_e, z_e), z_e)))
-        left = dom.mul(dom.mul(z_w, dom.add(a_p, beta_e)), dom.add(s_p, gamma_e))
-        right = dom.mul(dom.mul(z_e, dom.add(a_in, beta_e)), dom.add(t_in, gamma_e))
-        emit(dom.mul(lactive_e, dom.sub(left, right)))
-        emit(dom.mul(l0_e, dom.sub(a_p, s_p)))
-        emit(
-            dom.mul(dom.mul(lactive_e, dom.sub(a_p, s_p)), dom.sub(a_p, a_p_prev))
-        )
-
-    h_ext = dom.divide_by_vanishing(state["acc"])
-    h_coeffs_dev = dom.extended_to_coeff(h_ext)
-    # degree must be < 3n (device check, no host unpack of 4n coeffs)
-    import jax.numpy as jnp
-
-    top_zero = bool(jnp.all(h_coeffs_dev[3 * n :] == 0))
-    assert top_zero, "quotient degree overflow"
-    return h_coeffs_dev[: 3 * n]

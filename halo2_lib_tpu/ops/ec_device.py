@@ -196,6 +196,108 @@ class DeviceCurve:
         c = cond[..., None]
         return tuple(jnp.where(c, a, b) for a, b in zip(P, Q))
 
+    # --- mixed (Jacobian + affine) add ------------------------------------
+    # The MSM bucket-accumulation scan always adds an ORIGINAL base point
+    # (affine, Z=1) into a running Jacobian accumulator, so it uses
+    # madd-2007-bl (11 muls; 17 with the doubling branch) instead of the
+    # 23-mul complete add. Affine identity is encoded as the off-curve
+    # sentinel (0, 0) (valid because b != 0 for our curves).
+
+    def _madd(self, P1, A2, distinct: bool):
+        if _USE_PALLAS:
+            from . import pallas_field
+
+            return pallas_field.ec_madd(self, P1, A2, distinct)
+        return self._madd_xla(P1, A2, distinct)
+
+    def _madd_xla(self, P1, A2, distinct: bool):
+        """acc (Jacobian) + base (affine, (0,0)=identity) -> Jacobian.
+
+        `distinct=True` skips the doubling branch: sound when no partial
+        bucket sum can equal a base point — guaranteed for powers-of-tau SRS
+        bases, where such a collision is a nontrivial discrete-log relation.
+        """
+        df = self.df
+        X1, Y1, Z1 = P1
+        x2, y2 = A2
+        st = jnp.stack
+        one = df.one_mont(Z1.shape[:-1])
+
+        if distinct:
+            Z1Z1 = df._mont_mul(Z1, Z1)
+            r2 = df._mont_mul(st([x2, y2]), st([Z1Z1, Z1]))
+            U2, t2 = r2[0], r2[1]
+            H = df._sub(U2, X1)
+            r3 = df._mont_mul(st([t2, H]), st([Z1Z1, H]))
+            S2, HH = r3[0], r3[1]
+        else:
+            r1 = df._mont_mul(st([Z1, x2, y2]), st([Z1, x2, y2]))
+            Z1Z1, A, B = r1[0], r1[1], r1[2]
+            xB = df._add(x2, B)
+            r2 = df._mont_mul(st([x2, y2, B, xB]), st([Z1Z1, Z1, B, xB]))
+            U2, t2, C, xB2 = r2[0], r2[1], r2[2], r2[3]
+            H = df._sub(U2, X1)
+            E = df._add(df._add(A, A), A)
+            r3 = df._mont_mul(st([t2, H, E]), st([Z1Z1, H, E]))
+            S2, HH, F_ = r3[0], r3[1], r3[2]
+
+        rr = df._sub(S2, Y1)
+        rr = df._add(rr, rr)
+        I = df._add(HH, HH)
+        I = df._add(I, I)
+        ZH = df._add(Z1, H)
+        if distinct:
+            r4 = df._mont_mul(st([H, X1, rr, ZH]), st([I, I, rr, ZH]))
+            J, V, rr2, ZH2 = r4[0], r4[1], r4[2], r4[3]
+        else:
+            D = df._sub(df._sub(xB2, A), C)
+            D = df._add(D, D)
+            X3d = df._sub(F_, df._add(D, D))
+            r4 = df._mont_mul(
+                st([H, X1, rr, ZH, E]), st([I, I, rr, ZH, df._sub(D, X3d)])
+            )
+            J, V, rr2, ZH2, Ed = r4[0], r4[1], r4[2], r4[3], r4[4]
+        X3 = df._sub(df._sub(rr2, J), df._add(V, V))
+        Z3 = df._sub(df._sub(ZH2, Z1Z1), HH)
+        r5 = df._mont_mul(st([rr, Y1]), st([df._sub(V, X3), J]))
+        Y1J = r5[1]
+        Y3 = df._sub(r5[0], df._add(Y1J, Y1J))
+
+        p1_inf = df.is_zero(Z1)
+        live = ~(df.is_zero(x2) & df.is_zero(y2))
+
+        def sel(c, a, b):
+            return jnp.where(c[..., None], a, b)
+
+        if not distinct:
+            # doubling branch: P1 == lifted (x2, y2)
+            C4 = df._add(df._add(C, C), df._add(C, C))
+            Y3d = df._sub(Ed, df._add(C4, C4))
+            Z3d = df._add(y2, y2)
+            is_double = live & ~p1_inf & df.is_zero(H) & df.is_zero(rr)
+            X3 = sel(is_double, X3d, X3)
+            Y3 = sel(is_double, Y3d, Y3)
+            Z3 = sel(is_double, Z3d, Z3)
+        # P1 = O -> lifted P2 ; P2 dead -> P1
+        X3 = sel(p1_inf, x2, X3)
+        Y3 = sel(p1_inf, y2, Y3)
+        Z3 = sel(p1_inf, jnp.where(live[..., None], one, jnp.zeros_like(Z1)), Z3)
+        X3 = sel(~live, X1, X3)
+        Y3 = sel(~live, Y1, Y3)
+        Z3 = sel(~live, Z1, Z3)
+        return (X3, Y3, Z3)
+
+    def pack_points_affine(self, points):
+        """Host affine points ((x, y) or None) -> (Ax, Ay) Montgomery limbs,
+        identity encoded as the (0, 0) sentinel."""
+        from .limbs import ints_to_limbs
+
+        p = self.df.p_int
+        R = self.df.R
+        xs = [0 if pt is None else (pt[0] * R) % p for pt in points]
+        ys = [0 if pt is None else (pt[1] * R) % p for pt in points]
+        return jnp.asarray(ints_to_limbs(xs)), jnp.asarray(ints_to_limbs(ys))
+
     # --- reductions -----------------------------------------------------------
     def tree_reduce(self, P):
         """Sum points along the leading axis by halving (log N complete adds)."""
@@ -272,100 +374,129 @@ def _seg_scan(dc: DeviceCurve, X, Y, Z, flag):
     return x, y, z
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
-    """Pippenger on device. P: (X,Y,Z) uint32[n,16]; digits: int32[W, n]."""
-    df = dc.df
-    num_windows, n = digits.shape
-    nbuckets = (1 << window_bits) - 1  # bucket 0 (digit 0) is dropped
+# Memory budget for one MSM group: point-slots live at once inside the
+# bucket-accumulation scan (gathered bases + stacked scan outputs, ~5 coord
+# tensors of 64 B each => ~2^21 * 320B ~ 670 MB peak).
+_MSM_GROUP_SLOTS = 1 << 21
+# Lanes of the bucket-accumulation scan: each scan step performs one
+# [windows x lanes]-wide mixed add; R = n / lanes sequential steps.
+_MSM_SCAN_LANES = 512
 
-    def window_buckets(wdigits):
-        """Bucket sums for a batch of windows: wdigits int32[Wb, n] ->
-        uint32[Wb, nbuckets, 16] x3. Natively batched over the window axis
-        (no vmap) so the pallas EC kernels see one flat batch."""
-        Wb = wdigits.shape[0]
-        # sort points by digit, per window
-        order = jnp.argsort(wdigits, axis=1)
-        d_sorted = jnp.take_along_axis(wdigits, order, axis=1)
-        Xs, Ys, Zs = (t[order] for t in P)  # [Wb, n, 16]
-        # zero out digit-0 points (treat as identity)
-        live = d_sorted > 0
-        Zs = jnp.where(live[..., None], Zs, 0)
 
-        seg_start = jnp.concatenate(
-            [jnp.ones((Wb, 1), bool), d_sorted[:, 1:] != d_sorted[:, :-1]], axis=1
-        )
-        npts = d_sorted.shape[1]
+def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: bool):
+    """Bucket sums for a batch of windows via an O(n)-add segmented scan.
 
-        # Two-level segmented inclusive scan: reshape [n] -> [R, C] so the
-        # full-width EC-add count drops from log2(n) to log2(C)+1, plus a
-        # log2(R)-level carry scan on a C-times-smaller tensor.
-        C = 16
-        while npts % C:
-            C //= 2
-        R = npts // C
-        x2, y2, z2 = (t.reshape(Wb, R, C, N_LIMBS) for t in (Xs, Ys, Zs))
-        s2 = seg_start.reshape(Wb, R, C)
-        ix, iy, iz = _seg_scan(dc, x2, y2, z2, s2)
-        # carry into each row = trailing open-segment sum of the rows above,
-        # via an exclusive segmented scan of the per-row trailing sums
-        rf = jnp.any(s2, axis=2)
-        cx, cy, cz = _seg_scan(dc, ix[:, :, -1], iy[:, :, -1], iz[:, :, -1], rf)
-        zero = jnp.zeros((Wb, 1, N_LIMBS), dtype=cx.dtype)
-        cx, cy, cz = (
-            jnp.concatenate([zero, t[:, :-1]], axis=1) for t in (cx, cy, cz)
-        )
-        fix = dc._add(
-            (ix, iy, iz),
-            tuple(
-                jnp.broadcast_to(t[:, :, None, :], (Wb, R, C, N_LIMBS))
-                for t in (cx, cy, cz)
-            ),
-        )
-        # an element absorbs the carry only while its row prefix has no start
-        has_start = jnp.cumsum(s2.astype(jnp.int32), axis=2) > 0
-        sx, sy, sz = (
-            jnp.where(has_start[..., None], a, b).reshape(Wb, npts, N_LIMBS)
-            for a, b in zip((ix, iy, iz), fix)
-        )
-        # bucket b's sum sits at the LAST index of digit b+1 in the sorted
-        # order: binary-search it and GATHER (TPU scatter serializes; gather
-        # of 255 rows is free)
-        targets = jnp.arange(1, nbuckets + 1)
-        last_idx = (
-            jax.vmap(lambda row: jnp.searchsorted(row, targets, side="right"))(
-                d_sorted
-            )
-            - 1
-        )  # [Wb, nbuckets]
-        safe_idx = jnp.clip(last_idx, 0, npts - 1)
-        hit = jnp.take_along_axis(d_sorted, safe_idx, axis=1)
-        present = (last_idx >= 0) & (hit == targets[None, :])
-        bX = jnp.take_along_axis(sx, safe_idx[..., None], axis=1)
-        bY = jnp.take_along_axis(sy, safe_idx[..., None], axis=1)
-        bZ = jnp.where(
-            present[..., None], jnp.take_along_axis(sz, safe_idx[..., None], axis=1), 0
-        )
-        return bX, bY, bZ
+    A: (Ax, Ay) affine bases (Montgomery; (0,0) = identity), [nb, 16].
+    order/d_sorted: int32[Wb, n] sorted digit order per window.
+    Returns (bX, bY, bZ) uint32[Wb, nbuckets, 16], identity where empty.
 
-    # Window batching: process every window in one flat batch whenever the
-    # temporaries fit (a few u32[W*n, 16] buffers, ~128MB at 2^21
-    # point-windows); chunk through lax.map in groups beyond that.
-    if num_windows * n <= (1 << 21):
-        bX, bY, bZ = window_buckets(digits)  # [W, nbuckets, 16]
+    Design: sorted points are laid out [lanes, R] (lane = contiguous chunk of
+    the sorted order), a lax.scan of R steps runs one [Wb, lanes]-wide mixed
+    add per step (n total adds — not the n log n of a Hillis-Steele scan),
+    lane-boundary carries are fixed by a small segmented scan across lanes,
+    and bucket values are picked by binary-search gathers (TPU scatter would
+    serialize; a 2^c-row gather is free).
+    """
+    Ax, Ay = A
+    Wb, n = d_sorted.shape
+    CL = _MSM_SCAN_LANES
+    while n % CL:
+        CL //= 2
+    R = n // CL
+
+    ax = Ax[order]  # [Wb, n, 16]
+    ay = Ay[order]
+    live = (d_sorted > 0)[..., None]
+    ax = jnp.where(live, ax, 0)
+    ay = jnp.where(live, ay, 0)
+
+    seg_start = jnp.concatenate(
+        [jnp.ones((Wb, 1), bool), d_sorted[:, 1:] != d_sorted[:, :-1]], axis=1
+    )
+    # element (lane, r) = sorted position lane*R + r
+    ax_s = ax.reshape(Wb, CL, R, N_LIMBS).transpose(2, 0, 1, 3)  # [R, Wb, CL, 16]
+    ay_s = ay.reshape(Wb, CL, R, N_LIMBS).transpose(2, 0, 1, 3)
+    st_s = seg_start.reshape(Wb, CL, R).transpose(2, 0, 1)  # [R, Wb, CL]
+
+    ident = dc.identity((Wb, CL))
+
+    def step(acc, inp):
+        x2, y2, start = inp
+        acc = dc.select(~start, acc, ident)
+        out = dc._madd(acc, (x2, y2), distinct)
+        return out, out
+
+    _, stacked = jax.lax.scan(step, ident, (ax_s, ay_s, st_s))
+    # [R, Wb, CL, 16] x3 -> global sorted order [Wb, n, 16]
+    sx, sy, sz = (
+        t.transpose(1, 2, 0, 3).reshape(Wb, n, N_LIMBS) for t in stacked
+    )
+
+    # lane-boundary carries: inclusive segmented scan (across lanes) of each
+    # lane's trailing-run sum, shifted right by one lane
+    lastv = tuple(t[-1] for t in stacked)  # [Wb, CL, 16] x3
+    has_start = jnp.any(st_s, axis=0)  # [Wb, CL]
+    cx, cy, cz = _seg_scan(dc, *lastv, has_start)
+    zero = jnp.zeros((Wb, 1, N_LIMBS), dtype=cx.dtype)
+    cx, cy, cz = (jnp.concatenate([zero, t[:, :-1]], axis=1) for t in (cx, cy, cz))
+
+    # bucket b's lane-local sum sits at the LAST index of digit b; add the
+    # lane carry iff b's run began before that lane
+    targets = jnp.arange(1, nbuckets + 1)
+    vs = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="right"))
+    vsl = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))
+    last_idx = vs(d_sorted) - 1  # [Wb, nbuckets]
+    first_idx = vsl(d_sorted)
+    present = last_idx >= first_idx
+    safe_idx = jnp.clip(last_idx, 0, n - 1)
+    lane = safe_idx // R
+    bX = jnp.take_along_axis(sx, safe_idx[..., None], axis=1)
+    bY = jnp.take_along_axis(sy, safe_idx[..., None], axis=1)
+    bZ = jnp.take_along_axis(sz, safe_idx[..., None], axis=1)
+    carX = jnp.take_along_axis(cx, lane[..., None], axis=1)
+    carY = jnp.take_along_axis(cy, lane[..., None], axis=1)
+    carZ = jnp.take_along_axis(cz, lane[..., None], axis=1)
+    fixed = dc._add((bX, bY, bZ), (carX, carY, carZ))
+    needs_carry = (first_idx < lane * R)[..., None]
+    bX = jnp.where(needs_carry, fixed[0], bX)
+    bY = jnp.where(needs_carry, fixed[1], bY)
+    bZ = jnp.where(needs_carry, fixed[2], bZ)
+    bZ = jnp.where(present[..., None], bZ, 0)
+    return bX, bY, bZ
+
+
+def _msm_from_digits(dc: DeviceCurve, A, digits: jax.Array, window_bits: int, distinct: bool):
+    """Core MSM: affine bases + per-column window digits -> [C] Jacobian points.
+
+    digits: int32[C, W, n]. All C*W windows share one sort dispatch and are
+    bucket-accumulated in memory-budgeted groups.
+    """
+    C, W, n = digits.shape
+    nbuckets = (1 << window_bits) - 1
+    flat = digits.reshape(C * W, n)
+    order = jnp.argsort(flat, axis=1)
+    d_sorted = jnp.take_along_axis(flat, order, axis=1)
+
+    Wtot = C * W
+    group = Wtot
+    while group > 1 and group * n > _MSM_GROUP_SLOTS:
+        # shrink to a divisor of Wtot under budget
+        cand = max(g for g in range(1, group) if Wtot % g == 0)
+        group = cand
+    if group == Wtot:
+        bX, bY, bZ = _bucket_sums(dc, A, order, d_sorted, nbuckets, distinct)
     else:
-        group = 1
-        for g in (8, 4, 2):
-            if num_windows % g == 0 and g * n <= (1 << 21):
-                group = g
-                break
-        grouped = digits.reshape(num_windows // group, group, n)
-        gb = jax.lax.map(window_buckets, grouped)
-        bX, bY, bZ = (t.reshape(num_windows, nbuckets, N_LIMBS) for t in gb)
+        og = order.reshape(Wtot // group, group, n)
+        dg = d_sorted.reshape(Wtot // group, group, n)
+        gb = jax.lax.map(
+            lambda od: _bucket_sums(dc, A, od[0], od[1], nbuckets, distinct),
+            (og, dg),
+        )
+        bX, bY, bZ = (t.reshape(Wtot, nbuckets, N_LIMBS) for t in gb)
 
-    # suffix-sum trick, vectorized across windows:
+    # suffix-sum trick, vectorized across all windows:
     # acc_b = sum_{j >= b} S_j ; window_total = sum_b acc_b
-    ident = dc.identity((num_windows,))
+    ident = dc.identity((Wtot,))
 
     def suffix_step(carry, bucket):
         acc, total = carry
@@ -373,15 +504,48 @@ def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
         total = dc._add(total, acc)
         return (acc, total), None
 
-    buckets_rev = (bX[:, ::-1].swapaxes(0, 1), bY[:, ::-1].swapaxes(0, 1), bZ[:, ::-1].swapaxes(0, 1))
-    (acc, totals), _ = jax.lax.scan(suffix_step, (ident, ident), buckets_rev)
+    buckets_rev = (
+        bX[:, ::-1].swapaxes(0, 1),
+        bY[:, ::-1].swapaxes(0, 1),
+        bZ[:, ::-1].swapaxes(0, 1),
+    )
+    (_, totals), _ = jax.lax.scan(suffix_step, (ident, ident), buckets_rev)
+    # totals: [Wtot] points -> [C, W]
+    tX, tY, tZ = (t.reshape(C, W, N_LIMBS) for t in totals)
 
-    # combine windows MSB-first: res = ((W_top * 2^c + W_top-1) * 2^c + ...)
+    # combine windows MSB-first across all C columns at once
     def window_step(res, w):
         res = jax.lax.fori_loop(0, window_bits, lambda _, r: dc._double(r), res)
-        Pw = (totals[0][w], totals[1][w], totals[2][w])
+        Pw = (tX[:, w], tY[:, w], tZ[:, w])
         return dc._add(res, Pw), None
 
-    res = dc.identity(())
-    res, _ = jax.lax.scan(window_step, res, jnp.arange(num_windows - 1, -1, -1))
+    res = dc.identity((C,))
+    res, _ = jax.lax.scan(window_step, res, jnp.arange(W - 1, -1, -1))
     return res
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def msm_many_device(
+    dc: DeviceCurve, A, digits: jax.Array, window_bits: int, distinct: bool = False
+):
+    """Batched Pippenger MSM over shared affine bases.
+
+    A: (Ax, Ay) uint32[n, 16] Montgomery affine bases ((0,0) = identity).
+    digits: int32[C, W, n] window digits for C independent scalar columns.
+    Returns [C] Jacobian points (X, Y, Z) uint32[C, 16].
+
+    `distinct=True` enables the no-doubling mixed add: only sound when
+    bucket partial sums can never equal a base (powers-of-tau SRS bases).
+    """
+    return _msm_from_digits(dc, A, digits, window_bits, distinct)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
+    """Pippenger on device. P: (X,Y,Z) uint32[n,16] with Z in {0, R} (affine
+    lift or identity); digits: int32[W, n]. Returns one Jacobian point."""
+    X, Y, Z = P
+    inf = dc.df.is_zero(Z)[..., None]
+    A = (jnp.where(inf, 0, X), jnp.where(inf, 0, Y))
+    res = _msm_from_digits(dc, A, digits[None], window_bits, False)
+    return (res[0][0], res[1][0], res[2][0])

@@ -7,23 +7,30 @@ radix-2 FFT inside `halo2-axiom`'s `create_proof` (SURVEY.md §2.9).
 TPU-first shape choice: Stockham DIF avoids the bit-reversal permutation
 entirely — every stage is a reshape + slice + butterfly (add/sub/mont_mul),
 which XLA maps onto contiguous VPU work with no gathers. Twiddles for all
-stages are strided slices of one length-n/2 table. Multi-chip scaling plan:
-split the leading stages across devices and exchange with all_to_all (the
-four-step decomposition); see parallel/ntt_sharded.
+stages are strided slices of one length-n/2 table, generated ON DEVICE by a
+log-depth power scan (no O(n) host bigint loops). All transforms accept
+arbitrary leading batch dims — the prover converts every column of a proof
+in ONE dispatch ([C, n, 16] tensors), which matters doubly on remote-tunnel
+backends where each dispatch costs a host round trip.
+
+Multi-chip scaling: the leading stages split across devices and exchange
+with all_to_all (four-step decomposition); see parallel/sharded.py.
 """
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
-from .limbs import N_LIMBS, DeviceField, _int_to_limbs
+from .limbs import N_LIMBS, DeviceField
 
 
 class NTT:
-    """NTT/INTT of size 2^log_n over df.field (which must have 2-adicity >= log_n)."""
+    """NTT/INTT of size 2^log_n over df.field (which must have 2-adicity >= log_n).
+
+    Operates on ``uint32[..., n, 16]`` Montgomery-limb tensors; any leading
+    batch dims are transformed independently in the same dispatch.
+    """
 
     def __init__(self, df: DeviceField, log_n: int):
         field = df.field
@@ -37,42 +44,40 @@ class NTT:
         self.omega = w
         self.omega_inv = w_inv
         self.n_inv = pow(self.n, p - 2, p)
-
-        # one twiddle table per direction: w^k (Montgomery form) for k < n/2
-        half = self.n // 2
-        R = df.R
-
-        def table(root):
-            tw = np.zeros((max(half, 1), N_LIMBS), dtype=np.uint32)
-            cur = 1
-            for k in range(max(half, 1)):
-                tw[k] = _int_to_limbs((cur * R) % p)
-                cur = cur * root % p
-            return jnp.asarray(tw)
-
-        self.tw_fwd = table(w)
-        self.tw_inv = table(w_inv)
+        # twiddle tables are built EAGERLY (device power scan): building them
+        # lazily inside a jit trace would cache tracers
+        half = max(self.n // 2, 1)
+        self._tw = {True: _pows_device(df, w, half), False: _pows_device(df, w_inv, half)}
         self.n_inv_mont = df.pack(self.n_inv)
         self._fwd = jax.jit(lambda x: self._transform(x, True))
         self._bwd = jax.jit(lambda x: self._transform(x, False))
 
+    def _table(self, forward: bool) -> jax.Array:
+        """[n/2, 16] Montgomery twiddles w^k."""
+        return self._tw[forward]
+
     def _transform(self, x: jax.Array, forward: bool) -> jax.Array:
-        """Stockham radix-2 DIF: natural order in, natural order out."""
+        """Stockham radix-2 DIF: natural order in, natural order out.
+
+        x: [..., N, 16]; batch dims transform independently.
+        """
         df = self.df
         N = self.n
-        tw = self.tw_fwd if forward else self.tw_inv
-        x = x.reshape(N, 1, N_LIMBS)
+        tw = self._table(forward)
+        batch = x.shape[:-2]
+        x = x.reshape(batch + (N, 1, N_LIMBS))
         n, s = N, 1
         while n > 1:
             m = n // 2
-            a, b = x[:m], x[m:]
+            a, b = x[..., :m, :, :], x[..., m:, :, :]
             # stage twiddles w^(p * N/n), p < m — a strided slice of the table
             wp = tw[:: N // n][:m]  # [m, N_LIMBS]
-            top = df._add(a, b)
-            bot = df._mont_mul(df._sub(a, b), wp[:, None, :])
-            x = jnp.concatenate([top[:, None], bot[:, None]], axis=1).reshape(m, 2 * s, N_LIMBS)
+            top, bot = _butterfly(df, a, b, wp[:, None, :])
+            x = jnp.concatenate(
+                [top[..., None, :, :], bot[..., None, :, :]], axis=-3
+            ).reshape(batch + (m, 2 * s, N_LIMBS))
             n, s = m, 2 * s
-        return x.reshape(N, N_LIMBS)
+        return x.reshape(batch + (N, N_LIMBS))
 
     def forward(self, coeffs: jax.Array) -> jax.Array:
         """Evaluations at w^i (natural order) from coefficients. Montgomery in/out."""
@@ -84,12 +89,34 @@ class NTT:
         return self.df.mont_mul(out, self.n_inv_mont)
 
 
+def _butterfly(df: DeviceField, a, b, w):
+    """(a + b, (a - b) * w); fused pallas kernel on TPU, XLA elsewhere."""
+    from .limbs import _use_pallas
+
+    if _use_pallas():
+        from .pallas_field import ntt_butterfly
+
+        return ntt_butterfly(df, a, b, w)
+    return df._add(a, b), df._mont_mul(df._sub(a, b), w)
+
+
+def _pows_device(df: DeviceField, root: int, m: int) -> jax.Array:
+    """[m, 16] Montgomery powers 1, root, ..., root^{m-1} via log-depth scan."""
+    one = jnp.asarray(df.ONE_MONT)
+    if m == 1:
+        return one[None]
+    base = jnp.broadcast_to(df.pack(root), (m, N_LIMBS))
+    stacked = jnp.concatenate([one[None], base[:-1]], axis=0)
+    return jax.jit(lambda v: jax.lax.associative_scan(df._mont_mul, v))(stacked)
+
+
 class CosetNTT:
     """Evaluation over the coset g*H used for the quotient polynomial.
 
     halo2 evaluates the constraint polynomial on an extended domain shifted by
     the multiplicative generator (zeta in halo2's Domain). Scaling by powers of
     g is a single elementwise Montgomery multiply before/after the NTT.
+    Batched over leading dims like NTT.
     """
 
     def __init__(self, df: DeviceField, log_n: int, shift: int):
@@ -97,20 +124,8 @@ class CosetNTT:
         self.df = df
         p = df.field.p
         n = 1 << log_n
-        R = df.R
-        pw = np.zeros((n, N_LIMBS), dtype=np.uint32)
-        cur = 1
-        for i in range(n):
-            pw[i] = _int_to_limbs((cur * R) % p)
-            cur = cur * shift % p
-        self.shift_pows = jnp.asarray(pw)
-        shift_inv = pow(shift, p - 2, p)
-        pwi = np.zeros((n, N_LIMBS), dtype=np.uint32)
-        cur = 1
-        for i in range(n):
-            pwi[i] = _int_to_limbs((cur * R) % p)
-            cur = cur * shift_inv % p
-        self.shift_inv_pows = jnp.asarray(pwi)
+        self.shift_pows = _pows_device(df, shift, n)
+        self.shift_inv_pows = _pows_device(df, pow(shift, p - 2, p), n)
 
     def forward(self, coeffs: jax.Array) -> jax.Array:
         """Evaluate poly at shift * w^i."""

@@ -260,6 +260,84 @@ def _ec_add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, df: DeviceField):
     oz[:] = Z3.T
 
 
+def _ec_madd_kernel(x1, y1, z1, x2, y2, ox, oy, oz, *, df: DeviceField, distinct: bool):
+    """Mixed Jacobian + affine add (madd-2007-bl), mirroring
+    ops/ec_device.py::DeviceCurve._madd_xla. Affine identity = (0,0) sentinel;
+    `distinct` drops the doubling branch (sound for SRS bases)."""
+    nprime, p_rows, p17 = _consts_for(df)
+    consts = (nprime, p_rows, p17)
+    st = lambda *xs: jnp.stack(xs, axis=0)
+
+    X1, Y1, Z1 = x1[:].T, y1[:].T, z1[:].T
+    X2, Y2 = x2[:].T, y2[:].T
+
+    if distinct:
+        Z1Z1 = _mont_mul_t(Z1, Z1, consts)
+        r2 = _mont_mul_t(st(X2, Y2), st(Z1Z1, Z1), consts)
+        U2, t2 = r2[0], r2[1]
+        H = _sub_f(U2, X1, p_rows)
+        r3 = _mont_mul_t(st(t2, H), st(Z1Z1, H), consts)
+        S2, HH = r3[0], r3[1]
+    else:
+        r1 = _mont_mul_t(st(Z1, X2, Y2), st(Z1, X2, Y2), consts)
+        Z1Z1, A, B = r1[0], r1[1], r1[2]
+        xB = _add_f(X2, B, p17)
+        r2 = _mont_mul_t(st(X2, Y2, B, xB), st(Z1Z1, Z1, B, xB), consts)
+        U2, t2, C, xB2 = r2[0], r2[1], r2[2], r2[3]
+        H = _sub_f(U2, X1, p_rows)
+        E = _add_f(_dbl_f(A, p17), A, p17)
+        r3 = _mont_mul_t(st(t2, H, E), st(Z1Z1, H, E), consts)
+        S2, HH, F_ = r3[0], r3[1], r3[2]
+
+    rr = _dbl_f(_sub_f(S2, Y1, p_rows), p17)
+    I = _dbl_f(_dbl_f(HH, p17), p17)
+    ZH = _add_f(Z1, H, p17)
+    if distinct:
+        r4 = _mont_mul_t(st(H, X1, rr, ZH), st(I, I, rr, ZH), consts)
+        J, V, rr2, ZH2 = r4[0], r4[1], r4[2], r4[3]
+    else:
+        D = _dbl_f(_sub_f(_sub_f(xB2, A, p_rows), C, p_rows), p17)
+        X3d = _sub_f(F_, _dbl_f(D, p17), p_rows)
+        r4 = _mont_mul_t(
+            st(H, X1, rr, ZH, E), st(I, I, rr, ZH, _sub_f(D, X3d, p_rows)), consts
+        )
+        J, V, rr2, ZH2, Ed = r4[0], r4[1], r4[2], r4[3], r4[4]
+    X3 = _sub_f(_sub_f(rr2, J, p_rows), _dbl_f(V, p17), p_rows)
+    Z3 = _sub_f(_sub_f(ZH2, Z1Z1, p_rows), HH, p_rows)
+    r5 = _mont_mul_t(st(rr, Y1), st(_sub_f(V, X3, p_rows), J), consts)
+    Y1J = r5[1]
+    Y3 = _sub_f(r5[0], _dbl_f(Y1J, p17), p_rows)
+
+    p1_inf = _is_zero_t(Z1)
+    live = ~(_is_zero_t(X2) & _is_zero_t(Y2))
+    one_rows = _int_to_rows(df.R, X2.shape)
+
+    if not distinct:
+        C4 = _dbl_f(_dbl_f(C, p17), p17)
+        Y3d = _sub_f(Ed, _dbl_f(C4, p17), p_rows)
+        Z3d = _dbl_f(Y2, p17)
+        is_double = live & ~p1_inf & _is_zero_t(H) & _is_zero_t(rr)
+        X3 = jnp.where(is_double, X3d, X3)
+        Y3 = jnp.where(is_double, Y3d, Y3)
+        Z3 = jnp.where(is_double, Z3d, Z3)
+    X3 = jnp.where(p1_inf, X2, X3)
+    Y3 = jnp.where(p1_inf, Y2, Y3)
+    Z3 = jnp.where(p1_inf, jnp.where(live, one_rows, jnp.zeros_like(Z1)), Z3)
+    X3 = jnp.where(~live, X1, X3)
+    Y3 = jnp.where(~live, Y1, Y3)
+    Z3 = jnp.where(~live, Z1, Z3)
+
+    ox[:] = X3.T
+    oy[:] = Y3.T
+    oz[:] = Z3.T
+
+
+def _int_to_rows(v: int, shape):
+    """Compile-time int -> limb-major [..., 16, B] constant rows."""
+    rows = [jnp.full(shape[:-2] + (1,) + shape[-1:], (v >> (LIMB_BITS * i)) & MASK, jnp.uint32) for i in range(N_LIMBS)]
+    return jnp.concatenate(rows, axis=-2)
+
+
 def _ec_double_kernel(x1, y1, z1, ox, oy, oz, *, df: DeviceField):
     """dbl-2009-l (a=0), mirroring DeviceCurve._double."""
     nprime, p_rows, p17 = _consts_for(df)
@@ -363,6 +441,35 @@ def ec_add(dc, P1, P2, interpret: bool = False):
         _flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))) for t in (*P1, *P2)
     ]
     outs = _ec_add_call(dc.df.p_int, n, interpret)(*args)
+    return tuple(t.reshape(shape + (N_LIMBS,)) for t in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_madd_call(p_int: int, n: int, distinct: bool, interpret: bool):
+    from ..utils.fields import PrimeField
+
+    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
+    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_ec_madd_kernel, df=df, distinct=distinct),
+        out_shape=(shape, shape, shape),
+        grid=(n // BLK,),
+        in_specs=[_vspec()] * 5,
+        out_specs=(_vspec(), _vspec(), _vspec()),
+        interpret=interpret,
+    )
+
+
+def ec_madd(dc, P1, A2, distinct: bool, interpret: bool = False):
+    """Pallas mixed Jacobian+affine add over flattened batch dims."""
+    shape = jnp.broadcast_shapes(P1[0].shape[:-1], A2[0].shape[:-1])
+    n = int(np.prod(shape)) if shape else 1
+    if n % BLK:
+        return dc._madd_xla(P1, A2, distinct)
+    args = [
+        _flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))) for t in (*P1, *A2)
+    ]
+    outs = _ec_madd_call(dc.df.p_int, n, distinct, interpret)(*args)
     return tuple(t.reshape(shape + (N_LIMBS,)) for t in outs)
 
 

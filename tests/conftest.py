@@ -22,7 +22,20 @@ jax.config.update("jax_platforms", "cpu")
 # miscompiled code (cpu_aot_loader feature-mismatch -> wrong numerics), and
 # /tmp never travels between machines. Production runs stay cache-free
 # unless HALO2_TPU_JAX_CACHE is set explicitly.
-_cache = "/tmp/halo2_lib_tpu_test_xla_cache"
+def _host_fingerprint() -> str:
+    """CPU-feature fingerprint: AOT cache entries loaded on a host with
+    different CPU features can miscompute (cpu_aot_loader SIGILL warning)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [l for l in f if l.startswith("flags")][0]
+    except Exception:
+        flags = os.uname().machine
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
+_cache = f"/tmp/halo2_lib_tpu_test_xla_cache_{_host_fingerprint()}"
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

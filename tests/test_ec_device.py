@@ -55,8 +55,29 @@ def test_tree_reduce(dc):
     assert got == expected
 
 
-@pytest.mark.parametrize("n,window_bits", [(1, 4), (37, 4), (128, 8)])
-def test_msm(dc, n, window_bits):
+def test_msm(dc):
+    """One shape (XLA:CPU compiles are ~minutes per shape) covering every MSM
+    edge case at once: identity base, zero scalar, DUPLICATE bases (exercises
+    the doubling branch of the bucket-accumulation mixed add), tiny scalars."""
+    rng = random.Random(64)
+    n = 64
+    pts = [BN254_G1.random_point(rng) for _ in range(n)]
+    scalars = [BN254_G1.random_scalar(rng) for _ in range(n)]
+    pts[3] = None  # identity base
+    scalars[5] = 0  # zero scalar
+    pts[10] = pts[11] = pts[12]  # duplicate bases -> same bucket doubling
+    scalars[10] = scalars[11] = scalars[12]
+    pts[20] = pts[21]  # duplicate base, different scalars
+    scalars[30] = 1
+    scalars[31] = 255  # single-window scalars
+    got = dc.unpack_points(dc.msm(pts, scalars, 8))[0]
+    expected = BN254_G1.msm([p for p in pts if p], [s for p, s in zip(pts, scalars) if p])
+    assert got == expected
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,window_bits", [(37, 4), (128, 8)])
+def test_msm_shapes(dc, n, window_bits):
     rng = random.Random(n)
     pts = [BN254_G1.random_point(rng) for _ in range(n)]
     scalars = [BN254_G1.random_scalar(rng) for _ in range(n)]
@@ -64,9 +85,20 @@ def test_msm(dc, n, window_bits):
     assert got == BN254_G1.msm(pts, scalars)
 
 
-def test_msm_with_identity_and_zero_scalar(dc):
-    rng = random.Random(77)
-    pts = [BN254_G1.random_point(rng), None, BN254_G1.random_point(rng)]
-    scalars = [5, 7, 0]
-    got = dc.unpack_points(dc.msm(pts, scalars, 4))[0]
-    assert got == BN254_G1.mul(pts[0], 5)
+def test_msm_many_lagrange_style(dc):
+    """msm_many_device: several scalar columns over shared bases, one dispatch;
+    the distinct-bases fast path (no doubling branch)."""
+    import jax.numpy as jnp
+
+    from halo2_lib_tpu.ops.ec_device import msm_many_device
+
+    rng = random.Random(99)
+    n, C = 32, 3
+    pts = [BN254_G1.random_point(rng) for _ in range(n)]
+    cols = [[BN254_G1.random_scalar(rng) for _ in range(n)] for _ in range(C)]
+    A = dc.pack_points_affine(pts)
+    digits = jnp.stack([dc.pack_scalars(col, 8) for col in cols])  # [C, W, n]
+    out = msm_many_device(dc, A, digits, 8, True)
+    for c in range(C):
+        got = dc.unpack_points((out[0][c], out[1][c], out[2][c]))[0]
+        assert got == BN254_G1.msm(pts, cols[c])

@@ -83,3 +83,18 @@ def test_coset_ntt(df):
     assert got == want
     back = df.unpack(cntt.inverse(cntt.forward(df.pack(coeffs))))
     assert back == coeffs
+
+
+def test_ntt_batched(df, ntt):
+    """Leading batch dims transform independently in one dispatch."""
+    rng = random.Random(9)
+    cols = [[rng.randrange(F.p) for _ in range(N)] for _ in range(3)]
+    import jax.numpy as jnp
+
+    stacked = jnp.stack([df.pack(c) for c in cols])
+    out = ntt.forward(stacked)
+    for i, c in enumerate(cols):
+        assert df.unpack(out[i]) == df.unpack(ntt.forward(df.pack(c)))
+    back = ntt.inverse(out)
+    for i, c in enumerate(cols):
+        assert df.unpack(back[i]) == c
