@@ -63,33 +63,77 @@ def build_ecdsa_builder(k: int, lookup_bits: int):
 
 
 def bench_ecdsa(k: int) -> dict:
+    import halo2_lib_tpu.backend.prover as prover_mod
     from halo2_lib_tpu.backend.keygen import keygen
     from halo2_lib_tpu.backend.kzg import gen_srs
     from halo2_lib_tpu.backend.prover import create_proof
     from halo2_lib_tpu.backend.verifier import verify_proof
 
     params = gen_srs(k)
+    t0 = time.time()
     builder = build_ecdsa_builder(k, k - 1)
+    witgen_s = time.time() - t0
+    t0 = time.time()
     circuit = builder.synthesize()
+    synth_s = time.time() - t0
     pk = keygen(params, builder, circuit)
 
-    # warmup (pays XLA compiles), then timed run
+    # warmup (pays XLA compiles), then timed run with stage breakdown
     proof = create_proof(params, pk, circuit)
+    stages: dict[str, float] = {}
+    orig_stage = prover_mod._stage
+    orig_debug = prover_mod._DEBUG
+
+    def timed_stage(label, t0):
+        now = time.time()
+        stages[label] = round(now - t0, 3)
+        return now
+
+    prover_mod._stage = timed_stage
+    prover_mod._DEBUG = False
     t0 = time.time()
     proof = create_proof(params, pk, circuit)
     dt = time.time() - t0
+    prover_mod._stage = orig_stage
+    prover_mod._DEBUG = orig_debug
     assert verify_proof(params, pk.vk, proof)
     return {
         "metric": f"ecdsa_create_proof_k{k}_latency",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_ECDSA_K15_S / dt, 4),
+        "extra": {
+            "stages_s": stages,
+            "witness_gen_s": round(witgen_s, 3),
+            "synthesize_s": round(synth_s, 3),
+        },
     }
 
 
-def bench_msm(log_n: int = 16) -> dict:
-    """bn254 G1 MSM throughput (BASELINE.json headline kernel)."""
+def _sync(x):
+    """Force execution + a tiny host fetch (block_until_ready can be a no-op
+    on deferred remote backends; fetching bytes is the only honest sync)."""
+    import numpy as np
+
+    import jax
+
+    while isinstance(x, (tuple, list)):
+        x = x[0]
+    np.asarray(jax.device_get(x.ravel()[:8]))
+
+
+def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
+    """bn254 G1 MSM throughput (BASELINE.json headline kernel).
+
+    Digits are generated on device (uploading 2^20 scalars over a remote
+    tunnel would dwarf the kernel); bases repeat a 256-point window — the
+    arithmetic cost is identical and the complete mixed add handles the
+    duplicate-base doubling cases.
+    """
     import random
+
+    import jax
+    import jax.numpy as jnp
 
     from halo2_lib_tpu.ops.ec_device import DeviceCurve, msm_device
     from halo2_lib_tpu.ops.limbs import DeviceField
@@ -98,20 +142,18 @@ def bench_msm(log_n: int = 16) -> dict:
     rng = random.Random(12)
     n = 1 << log_n
     dc = DeviceCurve(DeviceField(BN254_G1.base), BN254_G1)
-    # n distinct pseudo-random points without n host scalar-muls: repeat a base
-    # window of real points (bases don't affect MSM arithmetic cost)
     base_pts = [BN254_G1.random_point(rng) for _ in range(256)]
-    pts = [base_pts[i % 256] for i in range(n)]
-    scalars = [rng.randrange(BN254_G1.scalar.p) for _ in range(n)]
-    P = dc.pack_points(pts)
-    digits = dc.pack_scalars(scalars, 8)
-    out = msm_device(dc, P, digits, 8)
-    out[0].block_until_ready()  # compile
-    iters = 3
+    P0 = dc.pack_points(base_pts)
+    P = tuple(jnp.tile(t, (n // 256, 1)) for t in P0)
+    key = jax.random.PRNGKey(7)
+    digit_sets = [
+        jax.random.randint(jax.random.fold_in(key, i), (32, n), 0, 256, dtype=jnp.int32)
+        for i in range(iters)
+    ]
+    _sync(msm_device(dc, P, digit_sets[0], 8))  # compile
     t0 = time.time()
-    for _ in range(iters):
-        out = msm_device(dc, P, digits, 8)
-    out[0].block_until_ready()
+    for i in range(iters):
+        _sync(msm_device(dc, P, digit_sets[i], 8))
     dt = (time.time() - t0) / iters
     return {
         "metric": f"msm_2^{log_n}_throughput",
@@ -121,26 +163,33 @@ def bench_msm(log_n: int = 16) -> dict:
     }
 
 
-def bench_ntt(log_n: int = 20) -> dict:
+def bench_ntt(log_n: int = 22, iters: int = 5) -> dict:
     import jax
+    import jax.numpy as jnp
 
-    from halo2_lib_tpu.ops.limbs import DeviceField
+    from halo2_lib_tpu.ops.limbs import N_LIMBS, DeviceField
     from halo2_lib_tpu.ops.ntt import NTT
     from halo2_lib_tpu.utils.fields import FR_BN254
 
     df = DeviceField(FR_BN254)
     ntt = NTT(df, log_n)
-    x = df.pack(list(range(1 << log_n)))
-    ntt.forward(x).block_until_ready()  # compile
-    iters = 5
+    n = 1 << log_n
+    key = jax.random.PRNGKey(3)
+    # random elements < 2^240 < p, generated on device (no host upload)
+    xs = []
+    for i in range(2):
+        limbs = jax.random.randint(
+            jax.random.fold_in(key, i), (n, N_LIMBS), 0, 1 << 16, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        xs.append(limbs.at[:, N_LIMBS - 1].set(0))
+    _sync(ntt.forward(xs[0]))  # compile
     t0 = time.time()
-    for _ in range(iters):
-        y = ntt.forward(x)
-    y.block_until_ready()
+    for i in range(iters):
+        _sync(ntt.forward(xs[i % 2]))
     dt = (time.time() - t0) / iters
     return {
         "metric": f"ntt_2^{log_n}_throughput",
-        "value": round((1 << log_n) / dt),
+        "value": round(n / dt),
         "unit": "elems/s",
         "vs_baseline": 0.0,
     }
@@ -153,12 +202,21 @@ def main():
         if mode == "ntt":
             result = bench_ntt()
         elif mode == "msm":
-            result = bench_msm(int(os.environ.get("HALO2_BENCH_MSM_LOGN", "16")))
+            result = bench_msm(int(os.environ.get("HALO2_BENCH_MSM_LOGN", "20")))
         else:
             result = bench_ecdsa(k)
+            # standing kernel metrics alongside the headline latency
+            if os.environ.get("HALO2_BENCH_NO_KERNELS") != "1":
+                try:
+                    m = bench_msm()
+                    nt = bench_ntt()
+                    result.setdefault("extra", {})[m["metric"]] = m["value"]
+                    result["extra"][nt["metric"]] = nt["value"]
+                except Exception as e:  # noqa: BLE001
+                    sys.stderr.write(f"kernel bench skipped ({type(e).__name__}: {e})\n")
     except Exception as e:  # noqa: BLE001 - always emit a benchmark point
         sys.stderr.write(f"bench fallback ({type(e).__name__}: {e})\n")
-        result = bench_ntt()
+        result = bench_ntt(20)
     print(json.dumps(result))
 
 

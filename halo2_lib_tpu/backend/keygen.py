@@ -64,17 +64,42 @@ class VerifyingKey:
     permutation_commitments: list
     perm_columns: list[ColumnRef] = dc_field(default_factory=list)
 
+    def to_bytes(self) -> bytes:
+        """Canonical byte serialization (role of halo2's vk.write: shape
+        header + every commitment point; no Python repr anywhere)."""
+
+        def pt(b, p):
+            if p is None:
+                b += b"\x00" * 64
+            else:
+                b += p[0].to_bytes(32, "little") + p[1].to_bytes(32, "little")
+            return b
+
+        out = bytearray(b"halo2_lib_tpu_vk_v1")
+        for v in (
+            self.k, self.params_n, self.num_advice, self.num_lookup,
+            self.num_fixed, self.num_instance,
+            -1 if self.lookup_bits is None else self.lookup_bits,
+            1 if self.uses_q_lookup else 0,
+            len(self.perm_columns),
+        ):
+            out += int(v).to_bytes(8, "little", signed=True)
+        for c in self.perm_columns:
+            out += c.kind.encode() + b"\x00" + int(c.index).to_bytes(4, "little")
+        for group in (
+            self.selector_commitments,
+            self.fixed_commitments,
+            [self.table_commitment, self.q_lookup_commitment],
+            self.permutation_commitments,
+        ):
+            out += len(group).to_bytes(4, "little")
+            for p in group:
+                out = pt(out, p)
+        return bytes(out)
+
     def hash(self) -> bytes:
         h = hashlib.blake2b(person=b"Halo2-VKey-Hash")
-        h.update(repr(
-            (
-                self.k, self.num_advice, self.num_lookup, self.num_fixed,
-                self.num_instance, self.lookup_bits, self.uses_q_lookup,
-                self.selector_commitments, self.fixed_commitments,
-                self.table_commitment, self.q_lookup_commitment,
-                self.permutation_commitments,
-            )
-        ).encode())
+        h.update(self.to_bytes())
         return h.digest()
 
 
@@ -215,16 +240,46 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     perm_cols = _perm_columns(circuit)
     sigma = _build_permutation(circuit, n, perm_cols)
 
-    # commitments (coeff-form commit; device MSM)
-    def commit_col(values: list[int]):
-        coeffs = dom.unpack(dom.lagrange_to_coeff(dom.pack(values)))
-        return params.commit(coeffs)
+    # commitments: ALL pk columns in ONE batched Lagrange-basis MSM dispatch
+    import jax
 
-    selector_commitments = [commit_col(s) for s in selectors]
-    fixed_commitments = [commit_col(c) for c in fixed_cols]
-    table_commitment = commit_col(table_col) if table_col is not None else None
-    q_lookup_commitment = commit_col(q_lookup_col) if q_lookup_col is not None else None
-    permutation_commitments = [commit_col(s) for s in sigma]
+    import jax.numpy as jnp
+
+    from ..ops.ec_device import DeviceCurve  # noqa: F401 (device path)
+    from .prover import _affine_canonical, _host_points, _u16_cols
+
+    all_cols = list(selectors) + list(fixed_cols)
+    if table_col is not None:
+        all_cols.append(table_col)
+    if q_lookup_col is not None:
+        all_cols.append(q_lookup_col)
+    all_cols.extend(sigma)
+    df = dom.df
+    dc = params.device_curve()
+
+    @jax.jit
+    def _commit_all(cols_u16, bases):
+        lag = df._to_mont(cols_u16.astype(jnp.uint32))
+        com = params.commit_many_inside(df, lag, True, bases=bases)
+        return _affine_canonical(dc, com)
+
+    pts = _host_points(
+        dc, _commit_all(jnp.asarray(_u16_cols(all_cols, n)), params.affine_lagrange_bases())
+    )
+    o = 0
+    selector_commitments = pts[o : o + len(selectors)]
+    o += len(selectors)
+    fixed_commitments = pts[o : o + len(fixed_cols)]
+    o += len(fixed_cols)
+    table_commitment = None
+    if table_col is not None:
+        table_commitment = pts[o]
+        o += 1
+    q_lookup_commitment = None
+    if q_lookup_col is not None:
+        q_lookup_commitment = pts[o]
+        o += 1
+    permutation_commitments = pts[o:]
 
     vk = VerifyingKey(
         k=k,

@@ -166,16 +166,22 @@ class ParamsKZG:
             self._lag_affine = self.device_curve().pack_points_affine(self.g_lagrange)
         return self._lag_affine
 
-    def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = 8):
+    def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = 8, bases=None):
         """Traceable batched commitment: [C, m, 16] Montgomery column values
         (evaluation form if `lagrange`, else coefficients) -> [C] Jacobian
         points. Safe to call inside a larger jit (no host sync).
-        Uses the no-doubling mixed add (SRS bases are distinct)."""
+        Uses the no-doubling mixed add (SRS bases are distinct).
+
+        Pass `bases` explicitly when calling from inside another jit —
+        fetching them here would bake them into the caller's executable as
+        compile-time constants."""
         C, m, _ = vals_mont.shape
         digits = window_digits(fr_df, vals_mont, window_bits)  # [C, W, m]
         if m < self.n:
             digits = jnp.pad(digits, ((0, 0), (0, 0), (0, self.n - m)))
-        A = self.affine_lagrange_bases() if lagrange else self.affine_bases()
+        A = bases if bases is not None else (
+            self.affine_lagrange_bases() if lagrange else self.affine_bases()
+        )
         return msm_many_device(self.device_curve(), A, digits, window_bits, True)
 
     def commit(self, coeffs: list[int], window_bits: int = 8):

@@ -171,23 +171,32 @@ class ProverRuntime:
             lag = df._to_mont(cq.astype(jnp.uint32))
             return dom.coset_ntt.forward(_pad_coeff(dom.ntt.inverse(lag), dom.n_ext))
 
-        self.l0_e, self.llast_e, self.lact_e = _prep_consts(consts_u16)
+        l0_e, llast_e, lact_e = _prep_consts(consts_u16)
         # X on the coset: poly with coeffs [0, 1]
         xp = jnp.zeros((dom.n_ext, N_LIMBS), jnp.uint32).at[1].set(jnp.asarray(df.ONE_MONT))
-        self.x_poly_e = jax.jit(dom.coset_ntt.forward)(xp)
-        self.omega_dev = dom.omega_pows_dev()
-        # force the SRS base tensors onto the device eagerly (outside any jit)
-        params.affine_bases()
-        params.affine_lagrange_bases()
+        x_poly_e = jax.jit(dom.coset_ntt.forward)(xp)
+
+        # All per-pk device state is passed to the stage jits as ARGUMENTS
+        # (a pytree dict): closure-captured concrete arrays would become
+        # compile-time constants baked into (and hashed with) every stage
+        # executable — slow compiles and bloated cache entries.
+        self.tables = {
+            "lag": self.tbl_lag,
+            "coeff": self.tbl_coeff,
+            "ext": self.tbl_ext,
+            "l0_e": l0_e,
+            "llast_e": llast_e,
+            "lact_e": lact_e,
+            "x_poly_e": x_poly_e,
+            "omega": dom.omega_pows_dev(),
+            "zh_inv": dom.zh_inv_ext,
+            "lagA": params.affine_lagrange_bases(),
+            "monoA": params.affine_bases(),
+        }
 
         self._stages: dict[str, object] = {}
         if _DEBUG:
             _stage("runtime init", t0)
-
-    # --- helpers -----------------------------------------------------------
-    def tbl(self, kind: str, label: str):
-        t = {"lag": self.tbl_lag, "coeff": self.tbl_coeff, "ext": self.tbl_ext}[kind]
-        return t[self._tbl_index[label]]
 
     def jit(self, name: str, fn):
         if name not in self._stages:
@@ -307,13 +316,14 @@ def create_proof(
 
     # === phase 1: advice + lookup-column commitments =======================
     adv_u16 = jnp.asarray(_u16_cols(advice_vals + lookup_vals + instance_vals, n))
+    T = rt.tables
 
-    def s1(cols_u16):
+    def s1(T, cols_u16):
         lag = df._to_mont(cols_u16.astype(jnp.uint32))
-        com = params.commit_many_inside(df, lag[: na + nl], True)
+        com = params.commit_many_inside(df, lag[: na + nl], True, bases=T["lagA"])
         return lag, _affine_canonical(dc, com)
 
-    lag_all, com1 = rt.jit("s1", s1)(adv_u16)
+    lag_all, com1 = rt.jit("s1", s1)(T, adv_u16)
     for pt in _host_points(dc, com1):
         tr.write_point(pt)
     adv_lag = lag_all[:na]
@@ -330,14 +340,14 @@ def create_proof(
         permuted_host.extend([a_p, s_p])
     perm_u16 = jnp.asarray(_u16_cols(permuted_host, n))
 
-    def s2(cols_u16):
+    def s2(T, cols_u16):
         lag = df._to_mont(cols_u16.astype(jnp.uint32))
         if lag.shape[0] == 0:
             return lag, (jnp.zeros((0, N_LIMBS), jnp.uint32),) * 2 + (jnp.zeros((0,), bool),)
-        com = params.commit_many_inside(df, lag, True)
+        com = params.commit_many_inside(df, lag, True, bases=T["lagA"])
         return lag, _affine_canonical(dc, com)
 
-    permuted_lag, com2 = rt.jit("s2", s2)(perm_u16)
+    permuted_lag, com2 = rt.jit("s2", s2)(T, perm_u16)
     for pt in _host_points(dc, com2):
         tr.write_point(pt)
     _t = _stage("lookup permuted", _t)
@@ -355,40 +365,39 @@ def create_proof(
     zb_u16 = jnp.asarray(_u16_cols(zblind, n - u - 1)) if zblind else jnp.zeros((0, n - u - 1, N_LIMBS), jnp.uint16)
     rand_u16 = jnp.asarray(_u16_cols([random_lag_vals], n))
 
-    sigma_lag = jnp.stack([rt.tbl("lag", f"sigma{ci}") for ci in range(ncols)]) if ncols else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
-    fixed_lag = jnp.stack([rt.tbl("lag", f"fix{i}") for i in range(vk.num_fixed)]) if vk.num_fixed else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
-    table_lag = rt.tbl("lag", "table") if pk.table_col is not None else None
     row_lt_u = (jnp.arange(n) < u)[:, None]
+    tix = rt._tbl_index
 
-    def _perm_value_stack(adv_lag, lk_lag, inst_lag):
+    def _perm_value_stack(T, adv_lag, lk_lag, inst_lag):
         parts = []
         if na:
             parts.append(adv_lag)
         if nl:
             parts.append(lk_lag)
         if vk.num_fixed:
-            parts.append(fixed_lag)
+            parts.append(jnp.stack([T["lag"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
         if vk.num_instance:
             parts.append(inst_lag)
         return jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
 
-    def _grand_products(ratio, zb):
-        """ratio [C, n] (rows >= u already 1) -> z [C, n] with blinding."""
+    def _grand_products(ratio):
+        """ratio [C, n] (rows >= u already 1) -> (z exclusive, incl) [C, n]."""
         incl = jax.lax.associative_scan(df._mont_mul, ratio, axis=1)
         one = df.one_mont((ratio.shape[0], 1))
         z = jnp.concatenate([one, incl[:, :-1]], axis=1)
         return z, incl
 
-    def s3(adv_lag, lk_lag, inst_lag, permuted_lag, scal, zb_u16, rand_u16):
+    def s3(T, adv_lag, lk_lag, inst_lag, permuted_lag, scal, zb_u16, rand_u16):
         beta_h = jnp.broadcast_to(scal[0], (n, N_LIMBS))
         gamma_h = jnp.broadcast_to(scal[1], (n, N_LIMBS))
         zb = df._to_mont(zb_u16.astype(jnp.uint32))
         rand_lag = df._to_mont(rand_u16.astype(jnp.uint32))
         zcols = []
         if ncols:
-            vals = _perm_value_stack(adv_lag, lk_lag, inst_lag)  # [ncols, n]
+            sigma_lag = jnp.stack([T["lag"][tix[f"sigma{ci}"]] for ci in range(ncols)])
+            vals = _perm_value_stack(T, adv_lag, lk_lag, inst_lag)  # [ncols, n]
             bd = scal[2:]  # [ncols, 16]
-            id_side = df._add(df._add(vals, df._mont_mul(rt.omega_dev[None], bd[:, None])), gamma_h)
+            id_side = df._add(df._add(vals, df._mont_mul(T["omega"][None], bd[:, None])), gamma_h)
             sig_side = df._add(df._add(vals, df._mont_mul(sigma_lag, scal[0])), gamma_h)
             # chunk products (pad to nchunks * PERM_CHUNK with ones)
             width = perm_chunks(ncols)[0][1] - perm_chunks(ncols)[0][0]
@@ -401,7 +410,7 @@ def create_proof(
             inv = df._batch_inv(denom.reshape(-1, N_LIMBS)).reshape(denom.shape)
             ratio = df._mont_mul(numer, inv)
             ratio = jnp.where(row_lt_u[None], ratio, df.one_mont(ratio.shape[:-1]))
-            z, incl = _grand_products(ratio, None)
+            z, incl = _grand_products(ratio)
             # chain chunks: scale_j = prod_{j' < j} z_{j'}[u]
             ends = incl[:, u - 1] if u > 0 else df.one_mont((nchunks,))
             scale_incl = jax.lax.associative_scan(df._mont_mul, ends, axis=0)
@@ -414,21 +423,21 @@ def create_proof(
             a_in = lk_lag
             a_p = permuted_lag[0::2]
             s_p = permuted_lag[1::2]
-            t_in = jnp.broadcast_to(table_lag[None], (nl, n, N_LIMBS))
+            t_in = jnp.broadcast_to(T["lag"][tix["table"]][None], (nl, n, N_LIMBS))
             numer = df._mont_mul(df._add(a_in, beta_h), df._add(t_in, gamma_h))
             denom = df._mont_mul(df._add(a_p, beta_h), df._add(s_p, gamma_h))
             inv = df._batch_inv(denom.reshape(-1, N_LIMBS)).reshape(denom.shape)
             ratio = df._mont_mul(numer, inv)
             ratio = jnp.where(row_lt_u[None], ratio, df.one_mont(ratio.shape[:-1]))
-            zl, _ = _grand_products(ratio, None)
+            zl, _ = _grand_products(ratio)
             zl = zl.at[:, u + 1 :].set(zb[nchunks:])
             zcols.append(zl)
         allz = jnp.concatenate(zcols + [rand_lag], axis=0) if zcols else rand_lag
-        com = params.commit_many_inside(df, allz, True)
+        com = params.commit_many_inside(df, allz, True, bases=T["lagA"])
         return allz, _affine_canonical(dc, com)
 
     allz_lag, com3 = rt.jit("s3", s3)(
-        adv_lag, lk_lag, inst_lag, permuted_lag, scal3, zb_u16, rand_u16
+        T, adv_lag, lk_lag, inst_lag, permuted_lag, scal3, zb_u16, rand_u16
     )
     for pt in _host_points(dc, com3):
         tr.write_point(pt)
@@ -445,13 +454,17 @@ def create_proof(
     K_lk = 5 * nl
     K = K_gates + K_perm + K_lk
 
-    def s4(adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, scal, ych):
-        # batched IFFT of every runtime column; coeffs are reused by later stages
+    # s4 is split into three jits (IFFT/coset, expressions, MSM): one fused
+    # graph was so large that XLA:CPU's compile-cache serialization crashed.
+    def s4a(adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag):
         runtime_lag = jnp.concatenate(
             [adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag], axis=0
         )
         coeffs = dom.ntt.inverse(runtime_lag)
         ext = dom.coset_ntt.forward(_pad_coeff(coeffs, dom.n_ext))
+        return coeffs, ext
+
+    def s4b(T, ext, scal, ych):
         ne = dom.n_ext
         o = 0
         adv_e, o = ext[o : o + na], o + na
@@ -471,7 +484,7 @@ def create_proof(
 
         # 1. gates
         if na:
-            sel_e = jnp.stack([rt.tbl("ext", f"sel{i}") for i in range(na)])
+            sel_e = jnp.stack([T["ext"][tix[f"sel{i}"]] for i in range(na)])
             g = df._sub(
                 df._add(adv_e, df._mont_mul(rot(adv_e, 1), rot(adv_e, 2))),
                 rot(adv_e, 3),
@@ -481,12 +494,12 @@ def create_proof(
 
         # 2. permutation
         if nchunks:
-            exprs.append(df._mont_mul(rt.l0_e, df._sub(one_e, permz_e[0])))
+            exprs.append(df._mont_mul(T["l0_e"], df._sub(one_e, permz_e[0])))
             zl = permz_e[-1]
-            exprs.append(df._mont_mul(rt.llast_e, df._sub(df._mont_mul(zl, zl), zl)))
+            exprs.append(df._mont_mul(T["llast_e"], df._sub(df._mont_mul(zl, zl), zl)))
             for j in range(1, nchunks):
                 zprev_rot = rot(permz_e[j - 1], u)
-                exprs.append(df._mont_mul(rt.l0_e, df._sub(permz_e[j], zprev_rot)))
+                exprs.append(df._mont_mul(T["l0_e"], df._sub(permz_e[j], zprev_rot)))
 
             parts = []
             if na:
@@ -494,15 +507,15 @@ def create_proof(
             if nl:
                 parts.append(lk_e)
             if vk.num_fixed:
-                parts.append(jnp.stack([rt.tbl("ext", f"fix{i}") for i in range(vk.num_fixed)]))
+                parts.append(jnp.stack([T["ext"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
             if vk.num_instance:
                 parts.append(inst_e)
             vals_e = jnp.concatenate(parts, axis=0)  # [ncols, ne]
-            sigma_e = jnp.stack([rt.tbl("ext", f"sigma{ci}") for ci in range(ncols)])
+            sigma_e = jnp.stack([T["ext"][tix[f"sigma{ci}"]] for ci in range(ncols)])
             bd = scal[2:]
             left_f = df._add(df._add(vals_e, df._mont_mul(sigma_e, scal[0])), gamma_e)
             right_f = df._add(
-                df._add(vals_e, df._mont_mul(rt.x_poly_e[None], bd[:, None])), gamma_e
+                df._add(vals_e, df._mont_mul(T["x_poly_e"][None], bd[:, None])), gamma_e
             )
             width = perm_chunks(ncols)[0][1] - perm_chunks(ncols)[0][0]
             total = nchunks * width
@@ -511,17 +524,17 @@ def create_proof(
             rf = jnp.concatenate([right_f, onep], 0).reshape(nchunks, width, ne, N_LIMBS)
             left = df._mont_mul(rot(permz_e, 1), _tree_prod(df, lf.swapaxes(0, 1)))
             right = df._mont_mul(permz_e, _tree_prod(df, rf.swapaxes(0, 1)))
-            chunk_e = df._mont_mul(rt.lact_e[None], df._sub(left, right))
+            chunk_e = df._mont_mul(T["lact_e"][None], df._sub(left, right))
             exprs.extend(chunk_e[j] for j in range(nchunks))
 
         # 3. lookups
         if nl:
-            t_e = rt.tbl("ext", "table")
+            t_e = T["ext"][tix["table"]]
             a_p_e = perm_e[0::2]
             s_p_e = perm_e[1::2]
-            l0b = jnp.broadcast_to(rt.l0_e[None], (nl, ne, N_LIMBS))
-            llb = jnp.broadcast_to(rt.llast_e[None], (nl, ne, N_LIMBS))
-            lab = jnp.broadcast_to(rt.lact_e[None], (nl, ne, N_LIMBS))
+            l0b = jnp.broadcast_to(T["l0_e"][None], (nl, ne, N_LIMBS))
+            llb = jnp.broadcast_to(T["llast_e"][None], (nl, ne, N_LIMBS))
+            lab = jnp.broadcast_to(T["lact_e"][None], (nl, ne, N_LIMBS))
             e1 = df._mont_mul(l0b, df._sub(df.one_mont((nl, ne)), lkz_e))
             e2 = df._mont_mul(llb, df._sub(df._mont_mul(lkz_e, lkz_e), lkz_e))
             left = df._mont_mul(
@@ -545,17 +558,22 @@ def create_proof(
         stack = jnp.stack(exprs)  # [K, ne, 16]
         ypows = dom.pows_of(ych, K)[::-1]  # y^{K-1} ... y^0
         acc = _tree_sum(df, df._mont_mul(stack, ypows[:, None]))
-        h_ext = df._mont_mul(acc, dom.zh_inv_ext)
+        h_ext = df._mont_mul(acc, T["zh_inv"])
         h_coeffs = dom.coset_ntt.inverse(h_ext)
         top_zero = jnp.all(h_coeffs[3 * n :] == 0)
         pieces = h_coeffs[: 3 * n].reshape(3, n, N_LIMBS)
-        com = params.commit_many_inside(df, pieces, False)
-        return coeffs, pieces, top_zero, _affine_canonical(dc, com)
+        return pieces, top_zero
+
+    def s4c(T, pieces):
+        com = params.commit_many_inside(df, pieces, False, bases=T["monoA"])
+        return _affine_canonical(dc, com)
 
     ych = dom.pack([y])[0]
-    runtime_coeffs, h_pieces, top_zero, com4 = rt.jit("s4", s4)(
-        adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, scal3, ych
+    runtime_coeffs, runtime_ext = rt.jit("s4a", s4a)(
+        adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag
     )
+    h_pieces, top_zero = rt.jit("s4b", s4b)(T, runtime_ext, scal3, ych)
+    com4 = rt.jit("s4c", s4c)(T, h_pieces)
     for pt in _host_points(dc, com4):
         tr.write_point(pt)
     _t = _stage("quotient", _t)
@@ -599,7 +617,7 @@ def create_proof(
     xc = pow(x, n, P)
     h_scal = dom.pack([1, xc, xc * xc % P])  # [3, 16]
 
-    def s5_fn(runtime_coeffs, h_pieces, pt_scalars, h_scal):
+    def s5_fn(T, runtime_coeffs, h_pieces, pt_scalars, h_scal):
         h_comb = _tree_sum(df, df._mont_mul(h_pieces, h_scal[:, None]))
         evals_out = []
         for pi, pl in enumerate(point_list):
@@ -612,7 +630,7 @@ def create_proof(
                 elif src == "h":
                     stack.append(h_comb)
                 else:
-                    stack.append(rt.tbl_coeff[idx])
+                    stack.append(T["coeff"][idx])
             stack = jnp.stack(stack)  # [L, n, 16]
             xp = dom.pows_of(pt_scalars[pi], n)
             vals = _tree_sum(df, df._mont_mul(stack, xp[None]).swapaxes(0, 1))
@@ -620,7 +638,7 @@ def create_proof(
         return evals_out
 
     pt_scalars = dom.pack([pts[pl] for pl in point_list])
-    eval_tensors = rt.jit("s5", s5_fn)(runtime_coeffs, h_pieces, pt_scalars, h_scal)
+    eval_tensors = rt.jit("s5", s5_fn)(T, runtime_coeffs, h_pieces, pt_scalars, h_scal)
     from ..ops.limbs import limbs_to_ints
 
     evals: dict[str, dict[str, int]] = {lb: {} for lb, _ in plan}
@@ -680,14 +698,14 @@ def create_proof(
         [_src(lb) for lb in labels] for _, labels in groups
     ]
 
-    def s6(adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
+    def s6(T, adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
            vpow_dev, r_dev, s_dev, w_dev):
         runtime_lag = jnp.concatenate(
             [adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag], axis=0
         )
         h_comb = _tree_sum(df, df._mont_mul(h_pieces, h_scal[:, None]))
         h_lag = dom.ntt.forward(h_comb)
-        W = rt.omega_dev
+        W = T["omega"]
         g_forms = []
         for gi, srcs in enumerate(group_label_srcs):
             stack = []
@@ -697,7 +715,7 @@ def create_proof(
                 elif src == "h":
                     stack.append(h_lag)
                 else:
-                    stack.append(rt.tbl_lag[idx])
+                    stack.append(T["lag"][idx])
             stack = jnp.stack(stack)
             vp = vpow_dev[gi * max_labels : gi * max_labels + len(srcs)]
             g = _tree_sum(df, df._mont_mul(stack, vp[:, None]))
@@ -725,11 +743,11 @@ def create_proof(
         terms = df._mont_mul(df._mont_mul(num, inv_zs), w_dev[:, None])
         h_open = _tree_sum(df, terms)
         h_open_coeffs = dom.ntt.inverse(h_open)
-        com = params.commit_many_inside(df, h_open_coeffs[None], False)
+        com = params.commit_many_inside(df, h_open_coeffs[None], False, bases=T["monoA"])
         return gstack, h_open, _affine_canonical(dc, com)
 
     gstack, h_open_lag, com6 = rt.jit("s6", s6)(
-        adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
+        T, adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
         vpow_dev, r_dev, s_dev, w_dev,
     )
     tr.write_point(_host_points(dc, com6)[0])
@@ -754,8 +772,8 @@ def create_proof(
     ztu_dev = dom.pack([zt_u])
     uch_dev = dom.pack([u_ch])
 
-    def s7(gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev):
-        W = rt.omega_dev
+    def s7(T, gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev):
+        W = T["omega"]
         terms = df._mont_mul(
             df._sub(gstack, jnp.broadcast_to(ru_dev[:, None], gstack.shape)),
             scale_dev[:, None],
@@ -765,10 +783,10 @@ def create_proof(
         inv_xu = df._batch_inv(df._sub(W, jnp.broadcast_to(uch_dev[0], (n, N_LIMBS))))
         q_evals = df._mont_mul(L_acc, inv_xu)
         q_coeffs = dom.ntt.inverse(q_evals)
-        com = params.commit_many_inside(df, q_coeffs[None], False)
+        com = params.commit_many_inside(df, q_coeffs[None], False, bases=T["monoA"])
         return _affine_canonical(dc, com)
 
-    com7 = rt.jit("s7", s7)(gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev)
+    com7 = rt.jit("s7", s7)(T, gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev)
     tr.write_point(_host_points(dc, com7)[0])
     _t = _stage("shplonk", _t)
     return tr.finalize()

@@ -83,13 +83,25 @@ class Blake2bRead:
         self._state.update(b)
 
     def read_point(self):
+        """Read a G1 point; REJECTS non-canonical coordinates and off-curve
+        points (halo2curves deserialization always curve-checks; accepting
+        arbitrary bytes here would let a prover smuggle invalid group
+        elements into the pairing check)."""
         raw = self._proof[self._pos : self._pos + 64]
         if len(raw) < 64:
             raise ValueError("transcript: unexpected end of proof")
         self._pos += 64
         x = int.from_bytes(raw[:32], "little")
         y = int.from_bytes(raw[32:], "little")
-        pt = None if (x == 0 and y == 0) else (x % FQ_BN254.p, y % FQ_BN254.p)
+        if x == 0 and y == 0:
+            pt = None
+        else:
+            q = FQ_BN254.p
+            if x >= q or y >= q:
+                raise ValueError("transcript: non-canonical point coordinate")
+            if (y * y - (x * x * x + 3)) % q != 0:
+                raise ValueError("transcript: point not on curve")
+            pt = (x, y)
         self.common_point(pt)
         return pt
 

@@ -53,6 +53,52 @@ def batch_evaluate(values: list, field) -> list[int]:
     return out
 
 
+class PositionMap:
+    """Arithmetic virtual-cell -> physical-(column, row) map.
+
+    Replaces the per-cell dict the flatten step used to build: a phase's cell
+    position is fully determined by its context's start offset in the value
+    stream plus a bisect over the (tiny) break-point list. Non-phase cells
+    (e.g. external raw cells) fall back to an explicit dict.
+    """
+
+    __slots__ = ("phases", "extra")
+
+    def __init__(self, extra: dict | None = None):
+        self.phases: dict[str, tuple[dict[int, int], list[int]]] = {}
+        self.extra: dict = extra or {}
+
+    def add_phase(self, type_id: str, starts: dict[int, int], bps_stream: list[int]) -> None:
+        self.phases[type_id] = (starts, bps_stream)
+
+    def __getitem__(self, cell):
+        ph = self.phases.get(cell.type_id)
+        if ph is None:
+            return self.extra[cell]
+        starts, bps = ph
+        s = starts[cell.context_id] + cell.offset
+        import bisect
+
+        c = bisect.bisect_left(bps, s)
+        return (c, s - (bps[c - 1] if c else 0))
+
+    def get(self, cell, default=None):
+        try:
+            return self[cell]
+        except KeyError:
+            return default
+
+    def __setitem__(self, cell, pos):
+        self.extra[cell] = pos
+
+    def __contains__(self, cell):
+        return cell.type_id in self.phases or cell in self.extra
+
+    def clear(self) -> None:
+        self.phases.clear()
+        self.extra.clear()
+
+
 @dataclass
 class FlattenedPhase:
     """Physical assignment of one phase: dense columns + selectors + break points."""
@@ -114,66 +160,93 @@ class SinglePhaseCoreManager:
         cells go top-to-bottom then left-to-right; when a live gate would cross
         `max_rows` (or we hit the second-to-last usable row) we break to the
         next column and duplicate the boundary cell with an equality constraint.
-        Also records every virtual cell's physical location in the copy manager.
+
+        Vectorized: instead of a per-cell Python loop + a 10^6-entry dict of
+        cell positions, the contexts are concatenated into one value/selector
+        stream, the O(num_columns) break positions are found by probing the
+        3 candidate rows at each column end, columns become stream SLICES, and
+        cell->physical lookups are served arithmetically by a PositionMap
+        (position = context start + offset, column by bisect on break points).
         """
         out = FlattenedPhase()
-        assigned = self.copy_manager.assigned_advices
-        from ..core.cells import ContextCell
-
-        gate_index = -1
-        col_vals: list[int] = []
-        col_sel: list[bool] = []
-
-        def new_column():
-            nonlocal gate_index, col_vals, col_sel
-            gate_index += 1
-            if gate_index >= num_columns:
-                raise ValueError(
-                    f"NOT ENOUGH ADVICE COLUMNS ({num_columns}); max usable rows {max_rows}"
-                )
-            col_vals = []
-            col_sel = []
-            out.columns.append(col_vals)
-            out.selectors.append(col_sel)
-
-        new_column()
-        row_offset = 0
+        stream_vals: list[int] = []
+        stream_sel: list[bool] = []
+        starts: dict[int, int] = {}
+        ctx_bounds: list[int] = []
+        type_id = self.type_of()
         for ctx in self.threads:
             if not ctx.advice:
                 continue
             assert len(ctx.selector) == len(ctx.advice)
-            values = batch_evaluate(ctx.advice, self.field)
-            tid, cid = ctx.type_id, ctx.context_id
-            for i, (value, q) in enumerate(zip(values, ctx.selector)):
-                col_vals.append(value)
-                col_sel.append(q)
-                cell = (gate_index, row_offset)
-                key = ContextCell(tid, cid, i)
-                old = assigned.get(key)
-                if old is not None:
-                    assert old == cell, "virtual cell assigned to two raw cells"
-                else:
-                    assigned[key] = cell
+            assert ctx.type_id == type_id
+            starts[ctx.context_id] = len(stream_vals)
+            ctx_bounds.append(len(stream_vals))
+            stream_vals.extend(batch_evaluate(ctx.advice, self.field))
+            stream_sel.extend(ctx.selector)
+        total = len(stream_vals)
 
-                if (q and row_offset + GATE_ROTATIONS > max_rows) or row_offset >= max_rows - 1:
-                    out.break_points.append(row_offset)
-                    # sanity: no overlapping gate within the last ROTATIONS-1 rows
-                    if i + 2 >= GATE_ROTATIONS:
-                        for delta in range(1, GATE_ROTATIONS - 1):
-                            assert not ctx.selector[i - delta], (
-                                f"unsupported gate overlap at column break (delta={delta})"
-                            )
-                    row_offset = 0
-                    # the selector for this gate moves to row 0 of the NEW column
-                    col_sel[-1] = False
-                    new_column()
-                    col_vals.append(value)
-                    col_sel.append(q)
-                    out.physical_equalities.append((cell, (gate_index, 0)))
-                else:
-                    # selector stays where it is
-                    pass
-                row_offset += 1
+        # break stream positions: first in-column row r with
+        # (sel[r] and r + 4 > max_rows) or r >= max_rows - 1
+        import bisect
+
+        bps_stream: list[int] = []
+        col_start = 0
+        while True:
+            cand = None
+            for r in range(max_rows - GATE_ROTATIONS + 1, max_rows - 1):
+                s = col_start + r
+                if s < total and stream_sel[s]:
+                    cand = s
+                    break
+            if cand is None:
+                s = col_start + max_rows - 1
+                if s < total:
+                    cand = s
+            if cand is None:
+                break
+            # sanity: no overlapping gate within the last ROTATIONS-1 rows
+            # (same guard as the reference: only checked when the break cell
+            # is at in-context index >= ROTATIONS - 2)
+            ci = bisect.bisect_right(ctx_bounds, cand) - 1
+            i = cand - ctx_bounds[ci]
+            if i + 2 >= GATE_ROTATIONS:
+                for delta in range(1, GATE_ROTATIONS - 1):
+                    assert not stream_sel[cand - delta] or cand - delta < ctx_bounds[ci], (
+                        f"unsupported gate overlap at column break (delta={delta})"
+                    )
+            bps_stream.append(cand)
+            out.break_points.append(cand - col_start)
+            col_start = cand
+
+        ncols_used = len(bps_stream) + (1 if total else 0)
+        if ncols_used > num_columns:
+            raise ValueError(
+                f"NOT ENOUGH ADVICE COLUMNS ({num_columns}); max usable rows {max_rows}"
+            )
+        # columns are stream slices, boundary cells duplicated
+        prev = 0
+        for j, bp in enumerate(bps_stream):
+            col_vals = stream_vals[prev : bp + 1]
+            col_sel = stream_sel[prev : bp + 1]
+            col_sel[-1] = False  # selector moves to row 0 of the NEXT column
+            out.columns.append(col_vals)
+            out.selectors.append(col_sel)
+            out.physical_equalities.append(((j, bp - prev), (j + 1, 0)))
+            prev = bp
+        if total:
+            out.columns.append(stream_vals[prev:])
+            out.selectors.append(stream_sel[prev:])
+        else:
+            out.columns.append([])
+            out.selectors.append([])
+
+        # install the arithmetic position map for this phase
+        pm = self.copy_manager.assigned_advices
+        if not isinstance(pm, PositionMap):
+            pm = PositionMap(dict(pm) if pm else {})
+            self.copy_manager.assigned_advices = pm
+        pm.add_phase(type_id, starts, bps_stream)
+
         if self.break_points is not None:
             assert self.break_points == out.break_points, "break points don't match"
         else:
