@@ -62,6 +62,13 @@ def build_ecdsa_builder(k: int, lookup_bits: int):
     return builder
 
 
+def _mark(label: str, t0: float) -> float:
+    now = time.time()
+    sys.stderr.write(f"[bench] {label}: {now - t0:.2f}s\n")
+    sys.stderr.flush()
+    return now
+
+
 def bench_ecdsa(k: int) -> dict:
     import halo2_lib_tpu.backend.prover as prover_mod
     from halo2_lib_tpu.backend.keygen import keygen
@@ -69,17 +76,23 @@ def bench_ecdsa(k: int) -> dict:
     from halo2_lib_tpu.backend.prover import create_proof
     from halo2_lib_tpu.backend.verifier import verify_proof
 
+    t = time.time()
     params = gen_srs(k)
+    t = _mark("gen_srs", t)
     t0 = time.time()
     builder = build_ecdsa_builder(k, k - 1)
     witgen_s = time.time() - t0
+    t = _mark("witness gen", t)
     t0 = time.time()
     circuit = builder.synthesize()
     synth_s = time.time() - t0
+    t = _mark("synthesize", t)
     pk = keygen(params, builder, circuit)
+    t = _mark("keygen", t)
 
     # warmup (pays XLA compiles), then timed run with stage breakdown
     proof = create_proof(params, pk, circuit)
+    t = _mark("create_proof warmup", t)
     stages: dict[str, float] = {}
     orig_stage = prover_mod._stage
     orig_debug = prover_mod._DEBUG

@@ -21,34 +21,15 @@ same-named path in the upstream Rust repo.
 
 __version__ = "0.1.0"
 
-import os as _os
+# Persistent XLA/Mosaic compilation cache, ON by default (HALO2_NO_CACHE=1 to
+# opt out). A cold prover pays ~10-25 s of Mosaic compile per EC kernel
+# variant; the cache makes that a once-per-machine cost (verified effective on
+# the remote axon TPU backend: 11 s -> 5 s second-process EC-add). The cache
+# dir is keyed by a CPU-feature fingerprint because XLA:CPU AOT entries from a
+# different host can load miscompiled code (cpu_aot_loader feature mismatch).
+from .utils.cache import enable_persistent_cache as _enable_persistent_cache
 
-
-def _enable_compilation_cache() -> None:
-    """Persist XLA compilations across processes — OPT-IN via
-    HALO2_TPU_JAX_CACHE=<dir>.
-
-    Off by default: XLA:CPU caches AOT executables keyed without the exact
-    host CPU features, so a cache written on one machine can load
-    miscompiled (e.g. AVX512-using) code on another — observed here as a
-    one-off wrong proof alongside ``cpu_aot_loader.cc`` feature-mismatch
-    errors. Remote (axon) backends ignore the local cache anyway.
-    """
-    cache_dir = _os.environ.get("HALO2_TPU_JAX_CACHE")
-    if not cache_dir:
-        return
-    try:
-        import jax
-
-        _os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
-
-
-_enable_compilation_cache()
+_enable_persistent_cache()
 
 
 def __getattr__(name):

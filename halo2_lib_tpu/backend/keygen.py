@@ -38,10 +38,15 @@ DELTA = pow(FR_BN254.generator, 1 << FR_BN254.s, FR_BN254.p)
 
 @dataclass
 class ColumnRef:
-    """A permutation-participating column: kind in {advice, lookup, fixed, instance}."""
+    """A permutation-participating column: kind in {advice, lookup, fixed, instance}.
+
+    `index` is the flat PHASE-MAJOR index within the kind (all phase-0 advice
+    columns, then phase-1, ...); `phase` is kept for physical-cell resolution.
+    """
 
     kind: str
-    index: int  # flat index within kind (phase folded in for advice/lookup)
+    index: int
+    phase: int = 0
 
     def key(self):
         return (self.kind, self.index)
@@ -51,8 +56,8 @@ class ColumnRef:
 class VerifyingKey:
     k: int
     params_n: int
-    num_advice: int
-    num_lookup: int
+    num_advice: int  # total gate-advice columns over all phases
+    num_lookup: int  # total lookup-advice columns over all phases
     num_fixed: int
     num_instance: int
     lookup_bits: int | None
@@ -63,6 +68,21 @@ class VerifyingKey:
     q_lookup_commitment: object | None
     permutation_commitments: list
     perm_columns: list[ColumnRef] = dc_field(default_factory=list)
+    # per-phase column counts; advice of phase t commits before the phase-t
+    # challenge squeeze (halo2 challenge phases, flex_gate/mod.rs:63-67)
+    num_advice_per_phase: list[int] = dc_field(default_factory=list)
+    num_lookup_per_phase: list[int] = dc_field(default_factory=list)
+    # challenge pins: (challenge index, flat advice col) + the q_chal fixed
+    # column commitments enforcing q * (a - challenge) = 0
+    challenge_pins: list = dc_field(default_factory=list)
+    chal_q_commitments: list = dc_field(default_factory=list)
+    # dynamic lookups: KEY_COL per set; per set two fixed is_enabled columns
+    # (key_en, table_en) committed in dynen order [set0 key, set0 table, ...]
+    dyn_key_cols: list = dc_field(default_factory=list)
+    dynen_commitments: list = dc_field(default_factory=list)
+
+    def num_phases(self) -> int:
+        return max(len(self.num_advice_per_phase), 1)
 
     def to_bytes(self) -> bytes:
         """Canonical byte serialization (role of halo2's vk.write: shape
@@ -75,7 +95,7 @@ class VerifyingKey:
                 b += p[0].to_bytes(32, "little") + p[1].to_bytes(32, "little")
             return b
 
-        out = bytearray(b"halo2_lib_tpu_vk_v1")
+        out = bytearray(b"halo2_lib_tpu_vk_v2")
         for v in (
             self.k, self.params_n, self.num_advice, self.num_lookup,
             self.num_fixed, self.num_instance,
@@ -84,13 +104,26 @@ class VerifyingKey:
             len(self.perm_columns),
         ):
             out += int(v).to_bytes(8, "little", signed=True)
+        for counts in (self.num_advice_per_phase, self.num_lookup_per_phase):
+            out += len(counts).to_bytes(4, "little")
+            for v in counts:
+                out += int(v).to_bytes(4, "little")
         for c in self.perm_columns:
-            out += c.kind.encode() + b"\x00" + int(c.index).to_bytes(4, "little")
+            out += c.kind.encode() + b"\x00"
+            out += int(c.index).to_bytes(4, "little") + int(c.phase).to_bytes(4, "little")
+        out += len(self.challenge_pins).to_bytes(4, "little")
+        for c, col in self.challenge_pins:
+            out += int(c).to_bytes(4, "little") + int(col).to_bytes(4, "little")
+        out += len(self.dyn_key_cols).to_bytes(4, "little")
+        for kc in self.dyn_key_cols:
+            out += int(kc).to_bytes(4, "little")
         for group in (
             self.selector_commitments,
             self.fixed_commitments,
             [self.table_commitment, self.q_lookup_commitment],
             self.permutation_commitments,
+            self.chal_q_commitments,
+            self.dynen_commitments,
         ):
             out += len(group).to_bytes(4, "little")
             for p in group:
@@ -111,36 +144,92 @@ class ProvingKey:
     fixed_cols: list[list[int]]
     table_col: list[int] | None
     q_lookup_col: list[int] | None
-    perm_values: list[list[int]]  # sigma column values (length n, host ints)
+    perm_values: object  # sigma columns, uint32[ncols, n, 16] device Montgomery tensor
     break_points: list[list[int]]
     config_params: object
+    chal_q_cols: list[list[int]] = dc_field(default_factory=list)
+    dynen_cols: list[list[int]] = dc_field(default_factory=list)
+    # dyn advice column values are witness data, re-derived per proof
+
+
+def _col_counts_per_phase(circuit: PhysicalCircuit) -> tuple[list[int], list[int]]:
+    """(advice, lookup) column counts per phase, trailing zero phases trimmed.
+
+    In the single-advice-column q_lookup case no dedicated lookup-advice
+    columns exist (the q_lookup selector gates the main column instead,
+    reference range/mod.rs:88-108), whatever the config says."""
+    na_p = list(circuit.params.num_advice_per_phase)
+    nl_p = list(circuit.params.num_lookup_advice_per_phase)
+    if any(circuit.q_lookup_rows):
+        nl_p = [0] * len(nl_p)
+    nphases = max(len(na_p), len(nl_p), 1)
+    na_p += [0] * (nphases - len(na_p))
+    nl_p += [0] * (nphases - len(nl_p))
+    while nphases > 1 and na_p[-1] == 0 and nl_p[-1] == 0:
+        na_p.pop(), nl_p.pop()
+        nphases -= 1
+    return na_p, nl_p
 
 
 def _perm_columns(circuit: PhysicalCircuit) -> list[ColumnRef]:
     cols: list[ColumnRef] = []
-    na = circuit.params.num_advice_per_phase[0] if circuit.params.num_advice_per_phase else 0
-    nl = (
-        circuit.params.num_lookup_advice_per_phase[0]
-        if circuit.params.num_lookup_advice_per_phase
-        else 0
-    )
-    for i in range(na):
-        cols.append(ColumnRef("advice", i))
-    for i in range(nl):
-        cols.append(ColumnRef("lookup", i))
+    na_p, nl_p = _col_counts_per_phase(circuit)
+    flat = 0
+    for phase, n in enumerate(na_p):
+        for _ in range(n):
+            cols.append(ColumnRef("advice", flat, phase))
+            flat += 1
+    flat = 0
+    for phase, n in enumerate(nl_p):
+        for _ in range(n):
+            cols.append(ColumnRef("lookup", flat, phase))
+            flat += 1
     for i in range(circuit.params.num_fixed):
         cols.append(ColumnRef("fixed", i))
     for i in range(circuit.params.num_instance_columns):
         cols.append(ColumnRef("instance", i))
+    flat = 0
+    for s in circuit.dyn_sets:
+        for _ in range(2 * s["key_col"]):
+            cols.append(ColumnRef("dynadv", flat))
+            flat += 1
     return cols
 
 
-def _build_permutation(circuit: PhysicalCircuit, n: int, cols: list[ColumnRef]) -> list[list[int]]:
+def _build_permutation(circuit: PhysicalCircuit, n: int, cols: list[ColumnRef]):
     """halo2 permutation keygen: label cell (c, r) with delta^c * omega^r, close
-    copy cycles, sigma_c(row) = label of the next cell in the cycle."""
-    p = FR_BN254.p
-    dom = get_domain(circuit.params.k)
-    col_pos = {c.key(): i for i, c in enumerate(cols)}
+    copy cycles, sigma_c(row) = label of the next cell in the cycle.
+
+    Returns int32 index arrays (nc, nr) of shape [ncols, n]: the (column, row)
+    of the NEXT cell in each cycle (identity where uncopied). The sigma VALUES
+    delta^nc * omega^nr are then one gather + Montgomery multiply on device —
+    no O(ncols * n) host bigint loop."""
+    import numpy as np
+    # physical (kind, phase, col-in-phase) -> position in the flat column list
+    na_p, nl_p = _col_counts_per_phase(circuit)
+    col_pos: dict = {}
+    pos = 0
+    for phase, cnt in enumerate(na_p):
+        for c in range(cnt):
+            col_pos[("advice", phase, c)] = pos
+            pos += 1
+    for phase, cnt in enumerate(nl_p):
+        for c in range(cnt):
+            col_pos[("lookup", phase, c)] = pos
+            pos += 1
+    for i in range(circuit.params.num_fixed):
+        col_pos[("fixed", 0, i)] = pos
+        pos += 1
+    for i in range(circuit.params.num_instance_columns):
+        col_pos[("instance", 0, i)] = pos
+        pos += 1
+    flat = 0
+    for s in circuit.dyn_sets:
+        for _ in range(2 * s["key_col"]):
+            col_pos[("dynadv", 0, flat)] = pos
+            flat += 1
+            pos += 1
+    assert pos == len(cols)
 
     # union-find over (col_idx, row)
     parent: dict = {}
@@ -160,8 +249,7 @@ def _build_permutation(circuit: PhysicalCircuit, n: int, cols: list[ColumnRef]) 
 
     def to_cell(phys):
         kind, phase, col, row = phys
-        assert phase == 0, "permutation supports phase 0 (BaseCircuitBuilder drives phase 0)"
-        return (col_pos[(kind, col)], row)
+        return (col_pos[(kind, phase, col)], row)
 
     for left, right in circuit.copies:
         union(to_cell(left), to_cell(right))
@@ -171,25 +259,36 @@ def _build_permutation(circuit: PhysicalCircuit, n: int, cols: list[ColumnRef]) 
     for cell in list(parent.keys()):
         groups.setdefault(find(cell), []).append(cell)
 
-    # identity mapping by default: sigma_c[r] = delta^c w^r
-    omegas = [1] * n
-    w = dom.omega
-    for r in range(1, n):
-        omegas[r] = omegas[r - 1] * w % p
-    deltas = [1] * len(cols)
-    for c in range(1, len(cols)):
-        deltas[c] = deltas[c - 1] * DELTA % p
-
-    sigma = [[deltas[c] * omegas[r] % p for r in range(n)] for c in range(len(cols))]
+    # identity mapping by default: next(c, r) = (c, r)
+    ncols = len(cols)
+    nc = np.tile(np.arange(ncols, dtype=np.int32)[:, None], (1, n))
+    nr = np.tile(np.arange(n, dtype=np.int32)[None, :], (ncols, 1))
     for root, members in groups.items():
         if root not in members:
             members.append(root)
         members = sorted(set(members))
         # cyclic shift: sigma(cell_i) = label(cell_{i+1})
         for i, (c, r) in enumerate(members):
-            nc, nr = members[(i + 1) % len(members)]
-            sigma[c][r] = deltas[nc] * omegas[nr] % p
-    return sigma
+            c2, r2 = members[(i + 1) % len(members)]
+            nc[c, r], nr[c, r] = c2, r2
+    return nc, nr
+
+
+def sigma_mont_device(df, dom, nc, nr):
+    """[ncols, n, 16] Montgomery sigma values delta^nc * omega^nr on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.ntt import _pows_device
+
+    delta_pows = _pows_device(df, DELTA, max(nc.shape[0], 1))
+    omega_pows = dom.omega_pows_dev()
+
+    @jax.jit
+    def gather_mul(ncd, nrd, dp, op):
+        return df._mont_mul(dp[ncd], op[nrd])
+
+    return gather_mul(jnp.asarray(nc), jnp.asarray(nr), delta_pows, omega_pows)
 
 
 def _pad(col: list[int], n: int) -> list[int]:
@@ -199,29 +298,41 @@ def _pad(col: list[int], n: int) -> list[int]:
 
 def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCircuit | None = None) -> ProvingKey:
     """keygen_pk2-equivalent: synthesize once, derive vk+pk (utils/halo2.rs:135)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _debug = _os.environ.get("HALO2_PROVER_DEBUG") == "1"
+    _t = _time.time()
+
+    def _kstage(label):
+        nonlocal _t
+        now = _time.time()
+        if _debug:
+            print(f"[keygen] {label}: {now - _t:.2f}s", file=_sys.stderr, flush=True)
+        _t = now
+
     if circuit is None:
         circuit = builder.synthesize()
+        _kstage("synthesize")
     k = circuit.params.k
     n = 1 << k
     assert params.k >= k, "SRS too small for circuit"
     dom = get_domain(k)
 
-    na = circuit.params.num_advice_per_phase[0] if circuit.params.num_advice_per_phase else 0
-    nl = (
-        circuit.params.num_lookup_advice_per_phase[0]
-        if circuit.params.num_lookup_advice_per_phase
-        else 0
-    )
+    na_p, nl_p = _col_counts_per_phase(circuit)
+    na, nl = sum(na_p), sum(nl_p)
 
-    # selectors per gate column
-    phase0 = circuit.phases[0] if circuit.phases else None
+    # selectors per gate column, phase-major over all phases
     selectors = []
-    for i in range(na):
-        sel = [0] * n
-        if phase0 and i < len(phase0.selectors):
-            for r, q in enumerate(phase0.selectors[i]):
-                sel[r] = 1 if q else 0
-        selectors.append(sel)
+    for phase, ncols in enumerate(na_p):
+        fp = circuit.phases[phase] if phase < len(circuit.phases) else None
+        for i in range(ncols):
+            sel = [0] * n
+            if fp and i < len(fp.selectors):
+                for r, q in enumerate(fp.selectors[i]):
+                    sel[r] = 1 if q else 0
+            selectors.append(sel)
 
     fixed_cols = [_pad(c, n) for c in circuit.fixed_cols]
 
@@ -237,8 +348,33 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
         for r in circuit.q_lookup_rows[0]:
             q_lookup_col[r] = 1
 
+    _kstage("selectors+fixed")
     perm_cols = _perm_columns(circuit)
-    sigma = _build_permutation(circuit, n, perm_cols)
+    nc_arr, nr_arr = _build_permutation(circuit, n, perm_cols)
+    _kstage("permutation cycles")
+
+    # challenge pin columns: q_chal_c has a single 1 at the pinned row;
+    # constraint q_chal_c * (advice_col - challenge_c) = 0 (gates/circuit.py
+    # constrain_challenge)
+    adv_phase_offsets = [0]
+    for cnt in na_p:
+        adv_phase_offsets.append(adv_phase_offsets[-1] + cnt)
+    challenge_pins: list[tuple[int, int]] = []
+    chal_q_cols: list[list[int]] = []
+    for c, phase, col, row in circuit.challenge_pins:
+        q = [0] * n
+        q[row] = 1
+        chal_q_cols.append(q)
+        challenge_pins.append((c, adv_phase_offsets[phase] + col))
+
+    # dynamic-lookup fixed is_enabled columns ([set0 key_en, set0 table_en, ...])
+    dyn_key_cols = [s["key_col"] for s in circuit.dyn_sets]
+    dynen_cols: list[list[int]] = []
+    for s in circuit.dyn_sets:
+        assert len(s["key_en"]) <= n - BLINDING_FACTORS - 1, "dyn lookups exceed usable rows"
+        assert len(s["table_en"]) <= n - BLINDING_FACTORS - 1, "dyn table exceeds usable rows"
+        dynen_cols.append(_pad(s["key_en"], n))
+        dynen_cols.append(_pad(s["table_en"], n))
 
     # commitments: ALL pk columns in ONE batched Lagrange-basis MSM dispatch
     import jax
@@ -253,19 +389,28 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
         all_cols.append(table_col)
     if q_lookup_col is not None:
         all_cols.append(q_lookup_col)
-    all_cols.extend(sigma)
+    all_cols.extend(chal_q_cols)
+    all_cols.extend(dynen_cols)
     df = dom.df
     dc = params.device_curve()
 
+    sigma_mont = sigma_mont_device(df, dom, nc_arr, nr_arr)
+    _kstage("sigma device build")
+
     @jax.jit
-    def _commit_all(cols_u16, bases):
+    def _commit_all(cols_u16, sigma_mont, bases):
         lag = df._to_mont(cols_u16.astype(jnp.uint32))
-        com = params.commit_many_inside(df, lag, True, bases=bases)
+        allc = jnp.concatenate([lag, sigma_mont], axis=0)
+        com = params.commit_many_inside(df, allc, True, bases=bases)
         return _affine_canonical(dc, com)
 
-    pts = _host_points(
-        dc, _commit_all(jnp.asarray(_u16_cols(all_cols, n)), params.affine_lagrange_bases())
-    )
+    cols_u16 = jnp.asarray(_u16_cols(all_cols, n))
+    _kstage("u16 packing")
+    bases = params.affine_lagrange_bases()
+    _kstage("lagrange base packing")
+    pts = _host_points(dc, _commit_all(cols_u16, sigma_mont, bases))
+    _kstage("commit dispatch")
+    nsigma = len(perm_cols)
     o = 0
     selector_commitments = pts[o : o + len(selectors)]
     o += len(selectors)
@@ -279,13 +424,19 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     if q_lookup_col is not None:
         q_lookup_commitment = pts[o]
         o += 1
-    permutation_commitments = pts[o:]
+    chal_q_commitments = pts[o : o + len(chal_q_cols)]
+    o += len(chal_q_cols)
+    dynen_commitments = pts[o : o + len(dynen_cols)]
+    o += len(dynen_cols)
+    permutation_commitments = pts[o : o + nsigma]
 
     vk = VerifyingKey(
         k=k,
         params_n=params.n,
         num_advice=na,
         num_lookup=nl,
+        num_advice_per_phase=na_p,
+        num_lookup_per_phase=nl_p,
         num_fixed=circuit.params.num_fixed,
         num_instance=circuit.params.num_instance_columns,
         lookup_bits=lookup_bits,
@@ -296,6 +447,10 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
         q_lookup_commitment=q_lookup_commitment,
         permutation_commitments=permutation_commitments,
         perm_columns=perm_cols,
+        challenge_pins=challenge_pins,
+        chal_q_commitments=chal_q_commitments,
+        dyn_key_cols=dyn_key_cols,
+        dynen_commitments=dynen_commitments,
     )
     break_points = []
     try:
@@ -308,7 +463,9 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
         fixed_cols=fixed_cols,
         table_col=table_col,
         q_lookup_col=q_lookup_col,
-        perm_values=sigma,
+        perm_values=sigma_mont,
         break_points=break_points,
         config_params=circuit.params,
+        chal_q_cols=chal_q_cols,
+        dynen_cols=dynen_cols,
     )

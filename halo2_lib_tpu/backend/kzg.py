@@ -33,7 +33,8 @@ from ..utils.curves import BN254_G1, BN254_G2
 from ..utils.fields import FR_BN254
 
 _SRS_MAGIC_V1 = b"H2TPUSRS"
-_SRS_MAGIC = b"H2TPUSR2"  # v2: adds the Lagrange basis
+_SRS_MAGIC_V2 = b"H2TPUSR2"  # v2: adds the Lagrange basis
+_SRS_MAGIC = b"H2TPUSR3"  # v3: tau drawn from ChaCha20Rng(seed 0), like the reference
 
 
 def _params_dir() -> str:
@@ -88,10 +89,22 @@ class ParamsKZG:
 
     # --- setup ----------------------------------------------------------------
     @staticmethod
-    def setup(k: int, seed: int = 0) -> "ParamsKZG":
-        """Generate from tau drawn from a seeded RNG (reference: ChaCha20 seed 0)."""
-        rng = random.Random(("kzg-srs", seed, k).__repr__())
-        tau = rng.randrange(1, FR_BN254.p)
+    def setup(k: int, seed: int | None = None) -> "ParamsKZG":
+        """Generate the powers-of-tau SRS.
+
+        With the default seed, tau is drawn EXACTLY as the reference's
+        `ParamsKZG::<Bn256>::setup(k, ChaCha20Rng::from_seed(Default))`
+        draws it (utils/mod.rs:441, one `Fr::random` from the zero seed) —
+        so the group elements g[i] = tau^i G match a Rust-generated SRS
+        point-for-point. Pass an int seed for a throwaway test SRS.
+        """
+        if seed is None:
+            from ..utils.chacha import reference_srs_tau
+
+            tau = reference_srs_tau()
+        else:
+            rng = random.Random(("kzg-srs", seed, k).__repr__())
+            tau = rng.randrange(1, FR_BN254.p)
         n = 1 << k
         # scalars tau^0..tau^{n-1}
         taus = [1] * n
@@ -121,8 +134,8 @@ class ParamsKZG:
     def read(path: str) -> "ParamsKZG":
         with open(path, "rb") as f:
             data = f.read()
-        if data[:8] == _SRS_MAGIC_V1:
-            raise ValueError("v1 SRS file (no Lagrange basis); regenerate")
+        if data[:8] in (_SRS_MAGIC_V1, _SRS_MAGIC_V2):
+            raise ValueError("stale SRS file format; regenerate")
         assert data[:8] == _SRS_MAGIC, "bad SRS file"
         k = int.from_bytes(data[8:12], "little")
         n = 1 << k

@@ -21,17 +21,29 @@ class VerifyFailure(Exception):
 
 
 class MockProver:
-    def __init__(self, circuit: PhysicalCircuit, instances: list[list[int]] | None):
+    def __init__(
+        self,
+        circuit: PhysicalCircuit,
+        instances: list[list[int]] | None,
+        phase_challenges: list[int] | None = None,
+    ):
         self.circuit = circuit
         self.provided_instances = instances
+        # values the challenge-pinned cells must equal; defaults to the
+        # deterministic mock challenges (backend/challenges.py) that
+        # mock-stage witness gen is expected to use
+        self.phase_challenges = phase_challenges
 
     @staticmethod
     def run(
-        k: int, builder: BaseCircuitBuilder, instances: list[list[int]] | None = None
+        k: int,
+        builder: BaseCircuitBuilder,
+        instances: list[list[int]] | None = None,
+        phase_challenges: list[int] | None = None,
     ) -> "MockProver":
         assert builder.config_params.k == k, "k mismatch"
         circuit = builder.synthesize()
-        return MockProver(circuit, instances)
+        return MockProver(circuit, instances, phase_challenges)
 
     # --- checks -----------------------------------------------------------
     def verify(self) -> list[str]:
@@ -89,6 +101,17 @@ class MockProver:
             if kind == "fixed":
                 colvals = c.fixed_cols[col]
                 return colvals[row] if row < len(colvals) else 0
+            if kind == "dynadv":
+                flat = 0
+                for s in c.dyn_sets:
+                    w = 2 * s["key_col"]
+                    if col < flat + w:
+                        local = col - flat
+                        cols2 = s["key_cols"] + s["table_cols"]
+                        colvals = cols2[local]
+                        return colvals[row] if row < len(colvals) else 0
+                    flat += w
+                raise ValueError(f"dynadv column {col} out of range")
             if kind == "instance":
                 inst = (
                     self.provided_instances[col]
@@ -137,6 +160,24 @@ class MockProver:
             errors.extend(check_dyn_lookups(c.dyn_lookups))
             if len(errors) > 16:
                 return errors
+
+        # 3c. challenge pins: pinned cell must equal the phase challenge
+        if c.challenge_pins:
+            from .challenges import mock_challenge
+
+            for ci, phase, col, row in c.challenge_pins:
+                colvals = c.phases[phase].columns[col]
+                v = colvals[row] if row < len(colvals) else 0
+                expect = (
+                    self.phase_challenges[ci]
+                    if self.phase_challenges is not None
+                    else mock_challenge(ci)
+                )
+                if v % p != expect % p:
+                    errors.append(
+                        f"challenge pin failure: phase {phase} col {col} row {row} "
+                        f"= {v} != challenge {ci}"
+                    )
 
         # 4. instance values match provided
         if self.provided_instances is not None:

@@ -84,6 +84,17 @@ class DeviceMockProver:
                     v = c.fixed_cols[col][row] if row < len(c.fixed_cols[col]) else 0
                 elif kind == "instance":
                     v = c.instances[col][row] if row < len(c.instances[col]) else 0
+                elif kind == "dynadv":
+                    flat = 0
+                    v = 0
+                    for s in c.dyn_sets:
+                        w = 2 * s["key_col"]
+                        if col < flat + w:
+                            cols2 = s["key_cols"] + s["table_cols"]
+                            cv = cols2[col - flat]
+                            v = cv[row] if row < len(cv) else 0
+                            break
+                        flat += w
                 else:
                     raise ValueError(kind)
                 return v

@@ -131,9 +131,13 @@ class Domain:
     def pows_of(self, x_mont: jax.Array, m: int) -> jax.Array:
         """[m, 16] powers 1, x, ..., x^{m-1} from a Montgomery scalar (jitted)."""
         if not hasattr(self, "_pows_jit"):
-            one = jnp.asarray(self.df.ONE_MONT)
+            one_np = self.df.ONE_MONT  # numpy: convert INSIDE the traced body.
+            # (jnp.asarray here would produce a tracer when pows_of is first
+            # called inside an enclosing jit trace; caching that tracer in the
+            # closure leaks it into every later call.)
 
             def _pows(xm, m):
+                one = jnp.asarray(one_np)
                 base = jnp.broadcast_to(xm, (m, 16))
                 stacked = jnp.concatenate([one[None], base[:-1]], axis=0)
                 return jax.lax.associative_scan(self.df._mont_mul, stacked)

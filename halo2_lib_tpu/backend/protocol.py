@@ -33,6 +33,54 @@ def perm_chunks(num_cols: int) -> list[tuple[int, int]]:
 ROT_LABELS = {0: "x", 1: "x_w", 2: "x_w2", 3: "x_w3", -1: "x_winv", "last": "x_last"}
 
 
+def lookup_instances(vk) -> list[tuple[list, list]]:
+    """All lookup-argument instances as (input_exprs, table_exprs).
+
+    Each side is theta-compressed by Horner over the expressions in order
+    (halo2's multi-expression lookup compression). An expression is a column
+    label (str) or ("prod", e1, e2) for a product — used by the q_lookup
+    single-advice-column case `q_lookup * a_0` (reference range/mod.rs:88-108,
+    circuit/builder.rs:337-357). Range lookups are the single-column case;
+    dynamic lookups (BasicDynLookupConfig, reference
+    virtual_region/lookups/basic.rs:70-82) look up (key..., key_is_enabled)
+    against (table..., table_is_enabled).
+    """
+    inst: list[tuple[list, list]] = []
+    for j in range(vk.num_lookup):
+        inst.append(([f"lkcol{j}"], ["table"]))
+    if vk.uses_q_lookup:
+        inst.append(([("prod", "qlookup0", "adv0")], ["table"]))
+    flat = 0
+    for si, kc in enumerate(getattr(vk, "dyn_key_cols", [])):
+        inp = [f"dyn{flat + c}" for c in range(kc)] + [f"dynen{2 * si}"]
+        tbl = [f"dyn{flat + kc + c}" for c in range(kc)] + [f"dynen{2 * si + 1}"]
+        inst.append((inp, tbl))
+        flat += 2 * kc
+    return inst
+
+
+def compress_host(cols: list, theta: int, u: int) -> list[int]:
+    """Theta-Horner compression of parallel column expressions, rows 0..u-1.
+
+    Each entry is a column (list of ints) or ("prod", col1, col2)."""
+
+    def at(col, r):
+        if isinstance(col, tuple):
+            return at(col[1], r) * at(col[2], r) % P
+        return col[r] if r < len(col) else 0
+
+    if len(cols) == 1 and not isinstance(cols[0], tuple):
+        c = cols[0]
+        return [c[r] if r < len(c) else 0 for r in range(u)]
+    out = []
+    for r in range(u):
+        acc = 0
+        for col in cols:
+            acc = (acc * theta + at(col, r)) % P
+        out.append(acc)
+    return out
+
+
 def point_values(x: int, k: int) -> dict[str, int]:
     from .poly import domain
 
@@ -65,6 +113,15 @@ def query_plan(vk: VerifyingKey) -> list[tuple[str, tuple[str, ...]]]:
         plan.append((f"fix{i}", ("x",)))
     for i in range(vk.num_advice):
         plan.append((f"sel{i}", ("x",)))
+    for i in range(len(vk.challenge_pins)):
+        plan.append((f"chalq{i}", ("x",)))
+    nd = 2 * sum(getattr(vk, "dyn_key_cols", []))
+    for i in range(nd):
+        plan.append((f"dyn{i}", ("x",)))
+    for i in range(2 * len(getattr(vk, "dyn_key_cols", []))):
+        plan.append((f"dynen{i}", ("x",)))
+    if vk.uses_q_lookup:
+        plan.append(("qlookup0", ("x",)))
     if vk.table_commitment is not None:
         plan.append(("table", ("x",)))
     plan.append(("random", ("x",)))
@@ -76,7 +133,7 @@ def query_plan(vk: VerifyingKey) -> list[tuple[str, tuple[str, ...]]]:
             plan.append((f"permz{j}", ("x", "x_w", "x_last")))
         else:
             plan.append((f"permz{j}", ("x", "x_w")))
-    for j in range(vk.num_lookup):
+    for j in range(len(lookup_instances(vk))):
         plan.append((f"lk{j}_zl", ("x", "x_w")))
         plan.append((f"lk{j}_a", ("x", "x_winv")))
         plan.append((f"lk{j}_s", ("x",)))
@@ -113,6 +170,7 @@ def expected_quotient_eval(
     dom = domain(k)
     u = usable_row_count(n)
     beta, gamma, y = challenges["beta"], challenges["gamma"], challenges["y"]
+    theta = challenges.get("theta", 0)
 
     # Lagrange helpers at x
     lag = dom.lagrange_evals_host([0, u] + list(range(u + 1, n)), x)
@@ -130,6 +188,13 @@ def expected_quotient_eval(
         aw2 = evals[f"adv{i}"]["x_w2"]
         aw3 = evals[f"adv{i}"]["x_w3"]
         exprs.append(q * ((a + aw * aw2 - aw3) % P) % P)
+
+    # 1b. challenge pins: q_chal_i * (advice_col - challenge_c)
+    phase_chals = challenges.get("phase_challenges", [])
+    for i, (c, flat_col) in enumerate(vk.challenge_pins):
+        q = evals[f"chalq{i}"]["x"]
+        a = evals[f"adv{flat_col}"]["x"]
+        exprs.append(q * ((a - phase_chals[c]) % P) % P)
 
     # 2. permutation
     perm_cols = vk.perm_columns
@@ -154,6 +219,8 @@ def expected_quotient_eval(
                 return evals[f"fix{idx}"]["x"]
             if kind == "instance":
                 return instance_evals[idx]
+            if kind == "dynadv":
+                return evals[f"dyn{idx}"]["x"]
             raise ValueError(kind)
 
         for j, (s, e) in enumerate(chunks):
@@ -168,15 +235,24 @@ def expected_quotient_eval(
                 right = right * ((v + beta * pow(DELTA, ci, P) % P * x + gamma) % P) % P
             exprs.append(l_active * ((left - right) % P) % P)
 
-    # 3. lookups
-    for j in range(vk.num_lookup):
+    # 3. lookups (theta-compressed input/table expressions per instance)
+    for j, (inp_labels, tbl_labels) in enumerate(lookup_instances(vk)):
         z = evals[f"lk{j}_zl"]["x"]
         z_w = evals[f"lk{j}_zl"]["x_w"]
         a_p = evals[f"lk{j}_a"]["x"]
         a_p_prev = evals[f"lk{j}_a"]["x_winv"]
         s_p = evals[f"lk{j}_s"]["x"]
-        a_in = evals[f"lkcol{j}"]["x"]
-        t_in = evals["table"]["x"]
+        def expr_eval(lb):
+            if isinstance(lb, tuple):
+                return expr_eval(lb[1]) * expr_eval(lb[2]) % P
+            return evals[lb]["x"]
+
+        a_in = 0
+        for lb in inp_labels:
+            a_in = (a_in * theta + expr_eval(lb)) % P
+        t_in = 0
+        for lb in tbl_labels:
+            t_in = (t_in * theta + expr_eval(lb)) % P
         exprs.append(l_0 * (1 - z) % P)
         exprs.append(l_last * ((z * z - z) % P) % P)
         prod_left = z_w * ((a_p + beta) % P) % P * ((s_p + gamma) % P) % P

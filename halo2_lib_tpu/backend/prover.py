@@ -42,8 +42,10 @@ from .kzg import ParamsKZG
 from .poly import domain as get_domain
 from .protocol import (
     P,
+    compress_host,
     group_queries,
     lagrange_interpolate,
+    lookup_instances,
     perm_chunks,
     point_values,
     poly_eval,
@@ -115,12 +117,38 @@ def _u16_cols(cols: list[list[int]], n: int) -> np.ndarray:
     return ints_to_limbs(flat).astype(np.uint16).reshape(len(cols), n, N_LIMBS)
 
 
+def _row_sharder(mesh):
+    """Shard axis -2 (the row axis n) of column tensors over the mesh's first
+    axis. The stage jits then run SPMD: XLA's partitioner propagates the
+    sharding through to_mont/NTT/MSM/expression graphs and inserts the
+    collectives (all_gather/psum/collective_permute) where columns mix —
+    the 'annotate shardings, let XLA insert collectives' recipe. n = 2^k is
+    always divisible by the mesh size."""
+    if mesh is None:
+        return lambda t: t
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ax = mesh.axis_names[0]
+
+    def shard(t):
+        ndev = mesh.devices.size
+        if t.ndim >= 2 and t.shape[-2] % ndev == 0 and t.shape[-2] >= ndev:
+            spec = [None] * t.ndim
+            spec[-2] = ax
+            return jax.device_put(t, NamedSharding(mesh, PartitionSpec(*spec)))
+        return t
+
+    return shard
+
+
 class ProverRuntime:
     """Per-(params, pk) device state + jitted FS-phase stage functions."""
 
-    def __init__(self, params: ParamsKZG, pk: ProvingKey):
+    def __init__(self, params: ParamsKZG, pk: ProvingKey, mesh=None):
         self.params = params
         self.pk = pk
+        self.mesh = mesh
+        self.shard = _row_sharder(mesh)
         vk = pk.vk
         self.vk = vk
         self.k = vk.k
@@ -132,13 +160,16 @@ class ProverRuntime:
 
         # --- per-pk device tables (one-time) -------------------------------
         t0 = _time.time()
+        _tt = t0
         ncols = len(vk.perm_columns)
         self.nchunks = len(perm_chunks(ncols))
 
         fixed_host = {
             "sel": pk.selectors,
             "fix": pk.fixed_cols,
-            "sigma": pk.perm_values,
+            "chalq": pk.chal_q_cols,
+            "dynen": pk.dynen_cols,
+            "qlookup": [pk.q_lookup_col] if pk.q_lookup_col is not None else [],
             "table": [pk.table_col] if pk.table_col is not None else [],
         }
         stacked = []
@@ -147,16 +178,25 @@ class ProverRuntime:
             for i, c in enumerate(cols):
                 self._tbl_index[f"{fam}{i}" if fam != "table" else "table"] = len(stacked)
                 stacked.append(_pad(c, n))
-        tbl_u16 = jnp.asarray(_u16_cols(stacked, n))
+        # sigma columns arrive as a device Montgomery tensor from keygen
+        for ci in range(ncols):
+            self._tbl_index[f"sigma{ci}"] = len(stacked) + ci
+        tbl_u16 = self.shard(jnp.asarray(_u16_cols(stacked, n)))
+        sigma_mont = self.shard(pk.perm_values)
+        _tt = _stage("rt: pk u16 packing", _tt)
 
         @jax.jit
-        def _prep(tblq):
-            lag = df._to_mont(tblq.astype(jnp.uint32))
+        def _prep(tblq, sigma_mont):
+            lag = jnp.concatenate(
+                [df._to_mont(tblq.astype(jnp.uint32)), sigma_mont], axis=0
+            )
             coeff = dom.ntt.inverse(lag)
             ext = dom.coset_ntt.forward(_pad_coeff(coeff, dom.n_ext))
             return lag, coeff, ext
 
-        self.tbl_lag, self.tbl_coeff, self.tbl_ext = _prep(tbl_u16)
+        self.tbl_lag, self.tbl_coeff, self.tbl_ext = _prep(tbl_u16, sigma_mont)
+        jax.block_until_ready(self.tbl_lag)
+        _tt = _stage("rt: pk table prep (to_mont+NTTs)", _tt)
 
         # domain constants on the extended coset
         l0 = [0] * n
@@ -172,6 +212,7 @@ class ProverRuntime:
             return dom.coset_ntt.forward(_pad_coeff(dom.ntt.inverse(lag), dom.n_ext))
 
         l0_e, llast_e, lact_e = _prep_consts(consts_u16)
+        _tt = _stage("rt: domain consts", _tt)
         # X on the coset: poly with coeffs [0, 1]
         xp = jnp.zeros((dom.n_ext, N_LIMBS), jnp.uint32).at[1].set(jnp.asarray(df.ONE_MONT))
         x_poly_e = jax.jit(dom.coset_ntt.forward)(xp)
@@ -193,6 +234,7 @@ class ProverRuntime:
             "lagA": params.affine_lagrange_bases(),
             "monoA": params.affine_bases(),
         }
+        _tt = _stage("rt: base packing", _tt)
 
         self._stages: dict[str, object] = {}
         if _DEBUG:
@@ -257,13 +299,51 @@ def _tree_prod(df, stack):
     return s[0]
 
 
+def _flatten_prover_phase(builder, t: int, ncols: int, nlookup: int, usable_rows: int):
+    """Flatten phase t of a builder for PROVING (no copy constraints needed).
+
+    Returns (advice column int lists, lookup column int lists). Used by the
+    multi-phase path where later-phase witnesses only exist after the earlier
+    phase challenges were squeezed (halo2 challenge phases).
+    """
+    builder.core.touch(t)
+    pm = builder.core.phase_manager[t]
+    if builder.witness_gen_only():
+        assert pm.break_points is not None, "break points not set for prover"
+        fp = pm.flatten_witnesses(ncols, pm.break_points)
+    else:
+        fp = pm.flatten_with_constraints(ncols, usable_rows)
+    adv = [fp.columns[i] if i < len(fp.columns) else [] for i in range(ncols)]
+    lm = builder.lookup_manager[t]
+    lk: list[list[int]] = [[] for _ in range(nlookup)]
+    if lm.total_rows() > 0 and nlookup > 0:
+        from ..core.cells import assigned_to_int
+
+        for i, cell_tuple in enumerate(lm.iter_rows()):
+            lk[i % nlookup].append(assigned_to_int(cell_tuple[0].value, builder.field))
+        lm.assigned = True
+    return adv, lk
+
+
 def create_proof(
     params: ParamsKZG,
     pk: ProvingKey,
     builder_or_circuit,
     instances: list[list[int]] | None = None,
     seed: int = 0,
+    phase_fns: dict | None = None,
+    mesh=None,
 ) -> bytes:
+    """Generate a proof.
+
+    `phase_fns`: optional {phase t >= 1: fn(builder, challenges)} witness
+    closures for halo2-style challenge phases — fn is called AFTER the
+    phase-(t-1) advice commitments, with `challenges` the list of phase
+    challenges squeezed so far, and must append the phase-t witnesses to the
+    builder (reference: challenges usable after FirstPhase/SecondPhase,
+    flex_gate/mod.rs:63-67; the squeeze itself lives in halo2-axiom's
+    create_proof). Requires passing a builder, not a synthesized circuit.
+    """
     vk = pk.vk
     k = vk.k
     n = 1 << k
@@ -271,37 +351,78 @@ def create_proof(
     rng = _random.Random(("create-proof-blinding", seed).__repr__())
     _t = _time.time()
 
-    if isinstance(builder_or_circuit, BaseCircuitBuilder):
+    builder = None
+    if phase_fns:
+        assert isinstance(builder_or_circuit, BaseCircuitBuilder), (
+            "phase_fns requires a builder (later phases are generated on the fly)"
+        )
+        builder = builder_or_circuit
+        circuit = None
+        if instances is None:
+            instances = []
+    elif isinstance(builder_or_circuit, BaseCircuitBuilder):
         circuit: PhysicalCircuit = builder_or_circuit.synthesize()
     else:
         circuit = builder_or_circuit
     if instances is None:
         instances = circuit.instances
-    assert not vk.uses_q_lookup, (
-        "single-advice-column q_lookup circuits are not supported by the real "
-        "prover; allocate a lookup advice column (num_advice >= 2)"
-    )
 
     rt: ProverRuntime = getattr(pk, "_runtime", None)
-    if rt is None or rt.params is not params:
-        rt = ProverRuntime(params, pk)
+    if rt is None or rt.params is not params or rt.mesh is not mesh:
+        rt = ProverRuntime(params, pk, mesh)
         pk._runtime = rt
+    _shard = rt.shard
     dom, df = rt.dom, rt.df
     dc = params.device_curve()
     na, nl, ncols = vk.num_advice, vk.num_lookup, len(vk.perm_columns)
     nchunks = rt.nchunks
+    na_p = vk.num_advice_per_phase or [na]
+    nl_p = vk.num_lookup_per_phase or [nl]
+    nphases = max(len(na_p), 1)
+    insts = lookup_instances(vk)  # range + dynamic lookup instances
+    ninst = len(insts)
+    nd = 2 * sum(vk.dyn_key_cols)  # dedicated dynamic-lookup advice columns
 
-    # --- host column values (length n ints) --------------------------------
-    phase0 = circuit.phases[0] if circuit.phases else None
-    advice_vals = []
-    for i in range(na):
-        col = phase0.columns[i] if phase0 and i < len(phase0.columns) else []
-        advice_vals.append(_blind(col, n, rng))
-    lookup_vals = []
-    lkcols = circuit.lookup_cols[0] if circuit.lookup_cols else []
-    for j in range(nl):
-        col = lkcols[j] if j < len(lkcols) else []
-        lookup_vals.append(_blind(col, n, rng))
+    # label -> (source, index) for the runtime column stacks
+    # (runtime order: advice, lookup, dyn advice, instance, permuted pairs,
+    # permutation z, lookup z, random)
+    o_adv, o_lk = 0, na
+    o_dyn = na + nl
+    o_inst = o_dyn + nd
+    o_perm = o_inst + vk.num_instance
+    o_permz = o_perm + 2 * ninst
+    o_lkz = o_permz + nchunks
+    o_rand = o_lkz + ninst
+
+    def _src(label):
+        if isinstance(label, tuple):  # ("prod", e1, e2) expression
+            return ("prod", _src(label[1]), _src(label[2]))
+        if label.startswith("adv"):
+            return ("rt", o_adv + int(label[3:]))
+        if label.startswith("lkcol"):
+            return ("rt", o_lk + int(label[5:]))
+        if label.startswith("dynen"):
+            return ("tbl", rt._tbl_index[label])
+        if label.startswith("dyn"):
+            return ("rt", o_dyn + int(label[3:]))
+        if label.startswith("permz"):
+            return ("rt", o_permz + int(label[5:]))
+        if label.startswith("lk") and label.endswith("_zl"):
+            return ("rt", o_lkz + int(label[2:-3]))
+        if label.startswith("lk") and label.endswith("_a"):
+            return ("rt", o_perm + 2 * int(label[2:-2]))
+        if label.startswith("lk") and label.endswith("_s"):
+            return ("rt", o_perm + 2 * int(label[2:-2]) + 1)
+        if label == "random":
+            return ("rt", o_rand)
+        if label == "h":
+            return ("h", 0)
+        return ("tbl", rt._tbl_index[label])
+
+    inst_srcs = [
+        ([_src(lb) for lb in inp], [_src(lb) for lb in tbl]) for inp, tbl in insts
+    ]
+
     instance_vals = [_pad(col, n) for col in instances]
     while len(instance_vals) < vk.num_instance:
         instance_vals.append([0] * n)
@@ -314,31 +435,126 @@ def create_proof(
             tr.common_scalar(v)
     _t = _stage("setup", _t)
 
-    # === phase 1: advice + lookup-column commitments =======================
-    adv_u16 = jnp.asarray(_u16_cols(advice_vals + lookup_vals + instance_vals, n))
+    # === advice commitments, one dispatch per challenge phase ==============
+    # Phase t's gate-advice + lookup-advice columns commit together; the
+    # phase-t challenge is squeezed before phase t+1's witnesses are
+    # generated. Phase 0's dispatch also carries the instance columns
+    # (converted to Montgomery-Lagrange form, not committed).
     T = rt.tables
+    challenges: list[int] = []
+    advice_vals: list[list[int]] = []
+    lookup_vals: list[list[int]] = []
+    phase_lags = []  # per phase: lag tensor [na_t + nl_t (+ inst), n, 16]
+    inst_lag = None
 
-    def s1(T, cols_u16):
-        lag = df._to_mont(cols_u16.astype(jnp.uint32))
-        com = params.commit_many_inside(df, lag[: na + nl], True, bases=T["lagA"])
-        return lag, _affine_canonical(dc, com)
+    def _phase_cols(t: int) -> tuple[list[list[int]], list[list[int]]]:
+        ncols_t = na_p[t] if t < len(na_p) else 0
+        nlk_t = nl_p[t] if t < len(nl_p) else 0
+        if circuit is not None:
+            fp = circuit.phases[t] if t < len(circuit.phases) else None
+            adv = [
+                fp.columns[i] if fp and i < len(fp.columns) else [] for i in range(ncols_t)
+            ]
+            lkc = circuit.lookup_cols[t] if t < len(circuit.lookup_cols) else []
+            lk = [lkc[j] if j < len(lkc) else [] for j in range(nlk_t)]
+            return adv, lk
+        return _flatten_prover_phase(builder, t, ncols_t, nlk_t, u)
 
-    lag_all, com1 = rt.jit("s1", s1)(T, adv_u16)
-    for pt in _host_points(dc, com1):
-        tr.write_point(pt)
-    adv_lag = lag_all[:na]
-    lk_lag = lag_all[na : na + nl]
-    inst_lag = lag_all[na + nl :]
+    for t in range(nphases):
+        if t > 0 and phase_fns and phase_fns.get(t) is not None:
+            phase_fns[t](builder, list(challenges))
+        adv_t, lk_t = _phase_cols(t)
+        adv_t = [_blind(col, n, rng) for col in adv_t]
+        lk_t = [_blind(col, n, rng) for col in lk_t]
+        advice_vals.extend(adv_t)
+        lookup_vals.extend(lk_t)
+        ncommit = len(adv_t) + len(lk_t)
+        cols = adv_t + lk_t + (instance_vals if t == 0 else [])
+        cols_u16 = _shard(jnp.asarray(_u16_cols(cols, n)))
+
+        def s1(T, cols_u16, _nc=ncommit):
+            lag = df._to_mont(cols_u16.astype(jnp.uint32))
+            com = params.commit_many_inside(df, lag[:_nc], True, bases=T["lagA"])
+            return lag, _affine_canonical(dc, com)
+
+        lag_t, com1 = rt.jit(f"s1p{t}", s1)(T, cols_u16)
+        for pt in _host_points(dc, com1):
+            tr.write_point(pt)
+        if t == 0:
+            inst_lag = lag_t[ncommit:]
+        phase_lags.append((lag_t[: len(adv_t)], lag_t[len(adv_t) : ncommit]))
+        if t < nphases - 1:
+            challenges.append(tr.squeeze_challenge())
+
+    if nphases == 1:
+        adv_lag, lk_lag = phase_lags[0]
+    else:
+
+        def s1cat(parts):
+            advs = [a for a, _ in parts]
+            lks = [l for _, l in parts]
+            cat = lambda xs: (
+                jnp.concatenate(xs, axis=0)
+                if xs
+                else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
+            )
+            return cat(advs), cat(lks)
+
+        adv_lag, lk_lag = rt.jit("s1cat", s1cat)(phase_lags)
+
+    # dynamic-lookup dedicated advice columns (committed after phase advice)
+    dyn_vals: list[list[int]] = []
+    if circuit is not None:
+        for s in circuit.dyn_sets:
+            for col in s["key_cols"] + s["table_cols"]:
+                dyn_vals.append(_blind(col, n, rng))
+    elif builder is not None and builder.dyn_lookup_manager is not None:
+        for s in builder.dyn_lookup_manager.resolve_columns(builder.field, True):
+            for col in s["key_cols"] + s["table_cols"]:
+                dyn_vals.append(_blind(col, n, rng))
+    assert len(dyn_vals) == nd, "dyn lookup columns don't match the proving key"
+    if nd:
+        dyn_u16 = _shard(jnp.asarray(_u16_cols(dyn_vals, n)))
+
+        def s1d(T, cols_u16):
+            lag = df._to_mont(cols_u16.astype(jnp.uint32))
+            com = params.commit_many_inside(df, lag, True, bases=T["lagA"])
+            return lag, _affine_canonical(dc, com)
+
+        dyn_lag, comd = rt.jit("s1d", s1d)(T, dyn_u16)
+        for pt in _host_points(dc, comd):
+            tr.write_point(pt)
+    else:
+        dyn_lag = jnp.zeros((0, n, N_LIMBS), jnp.uint32)
     _t = _stage("advice commits", _t)
 
-    tr.squeeze_challenge()  # theta (single-expression lookups; structural)
+    theta = tr.squeeze_challenge()  # lookup input/table compression
 
     # === phase 2: lookup permuted columns ==================================
+    def _host_col(label):
+        if isinstance(label, tuple):
+            return (label[0], _host_col(label[1]), _host_col(label[2]))
+        if label.startswith("lkcol"):
+            return lookup_vals[int(label[5:])]
+        if label.startswith("dynen"):
+            return pk.dynen_cols[int(label[5:])]
+        if label.startswith("dyn"):
+            return dyn_vals[int(label[3:])]
+        if label.startswith("adv"):
+            return advice_vals[int(label[3:])]
+        if label == "qlookup0":
+            return pk.q_lookup_col
+        if label == "table":
+            return pk.table_col
+        raise ValueError(label)
+
     permuted_host = []
-    for j in range(nl):
-        a_p, s_p = _permute_pair(lookup_vals[j], pk.table_col, u, n, rng)
+    for inp_labels, tbl_labels in insts:
+        a_comp = compress_host([_host_col(lb) for lb in inp_labels], theta, u)
+        s_comp = compress_host([_host_col(lb) for lb in tbl_labels], theta, u)
+        a_p, s_p = _permute_pair(a_comp, s_comp, u, n, rng)
         permuted_host.extend([a_p, s_p])
-    perm_u16 = jnp.asarray(_u16_cols(permuted_host, n))
+    perm_u16 = _shard(jnp.asarray(_u16_cols(permuted_host, n)))
 
     def s2(T, cols_u16):
         lag = df._to_mont(cols_u16.astype(jnp.uint32))
@@ -359,16 +575,17 @@ def create_proof(
     # host scalars for the identity side: beta * delta^ci
     beta_deltas = [beta * pow(DELTA, ci, P) % P for ci in range(ncols)]
     # blinding rows for the z columns and the random column (in one upload)
-    zblind = [[rng.randrange(P) for _ in range(n - u - 1)] for _ in range(nchunks + nl)]
+    zblind = [[rng.randrange(P) for _ in range(n - u - 1)] for _ in range(nchunks + ninst)]
     random_lag_vals = [rng.randrange(P) for _ in range(n)]
-    scal3 = dom.pack([beta, gamma] + beta_deltas)  # [2 + ncols, 16]
+    # scal layout: [theta, beta, gamma, beta*delta^0, ...]
+    scal3 = dom.pack([theta, beta, gamma] + beta_deltas)
     zb_u16 = jnp.asarray(_u16_cols(zblind, n - u - 1)) if zblind else jnp.zeros((0, n - u - 1, N_LIMBS), jnp.uint16)
-    rand_u16 = jnp.asarray(_u16_cols([random_lag_vals], n))
+    rand_u16 = _shard(jnp.asarray(_u16_cols([random_lag_vals], n)))
 
     row_lt_u = (jnp.arange(n) < u)[:, None]
     tix = rt._tbl_index
 
-    def _perm_value_stack(T, adv_lag, lk_lag, inst_lag):
+    def _perm_value_stack(T, adv_lag, lk_lag, dyn_lag, inst_lag):
         parts = []
         if na:
             parts.append(adv_lag)
@@ -378,7 +595,33 @@ def create_proof(
             parts.append(jnp.stack([T["lag"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
         if vk.num_instance:
             parts.append(inst_lag)
+        if nd:
+            parts.append(dyn_lag)
         return jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
+
+    def _compressed_stacks(get_tensor, theta_t, shape_tail):
+        """Per-instance theta-compressed (input, table) tensors [ninst, ...]."""
+        a_list, s_list = [], []
+        for srcs_in, srcs_tbl in inst_srcs:
+
+            def resolve(src):
+                if src[0] == "prod":
+                    return df._mont_mul(resolve(src[1]), resolve(src[2]))
+                return get_tensor(src)
+
+            def fold(srcs):
+                acc = None
+                for src in srcs:
+                    tsr = resolve(src)
+                    acc = tsr if acc is None else df._add(df._mont_mul(acc, theta_t), tsr)
+                return acc
+
+            a_list.append(fold(srcs_in))
+            s_list.append(fold(srcs_tbl))
+        if not a_list:
+            z = jnp.zeros((0,) + shape_tail + (N_LIMBS,), jnp.uint32)
+            return z, z
+        return jnp.stack(a_list), jnp.stack(s_list)
 
     def _grand_products(ratio):
         """ratio [C, n] (rows >= u already 1) -> (z exclusive, incl) [C, n]."""
@@ -387,18 +630,18 @@ def create_proof(
         z = jnp.concatenate([one, incl[:, :-1]], axis=1)
         return z, incl
 
-    def s3(T, adv_lag, lk_lag, inst_lag, permuted_lag, scal, zb_u16, rand_u16):
-        beta_h = jnp.broadcast_to(scal[0], (n, N_LIMBS))
-        gamma_h = jnp.broadcast_to(scal[1], (n, N_LIMBS))
+    def s3(T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, scal, zb_u16, rand_u16):
+        beta_h = jnp.broadcast_to(scal[1], (n, N_LIMBS))
+        gamma_h = jnp.broadcast_to(scal[2], (n, N_LIMBS))
         zb = df._to_mont(zb_u16.astype(jnp.uint32))
         rand_lag = df._to_mont(rand_u16.astype(jnp.uint32))
         zcols = []
         if ncols:
             sigma_lag = jnp.stack([T["lag"][tix[f"sigma{ci}"]] for ci in range(ncols)])
-            vals = _perm_value_stack(T, adv_lag, lk_lag, inst_lag)  # [ncols, n]
-            bd = scal[2:]  # [ncols, 16]
+            vals = _perm_value_stack(T, adv_lag, lk_lag, dyn_lag, inst_lag)  # [ncols, n]
+            bd = scal[3:]  # [ncols, 16]
             id_side = df._add(df._add(vals, df._mont_mul(T["omega"][None], bd[:, None])), gamma_h)
-            sig_side = df._add(df._add(vals, df._mont_mul(sigma_lag, scal[0])), gamma_h)
+            sig_side = df._add(df._add(vals, df._mont_mul(sigma_lag, scal[1])), gamma_h)
             # chunk products (pad to nchunks * PERM_CHUNK with ones)
             width = perm_chunks(ncols)[0][1] - perm_chunks(ncols)[0][0]
             total = nchunks * width
@@ -419,11 +662,17 @@ def create_proof(
                           df._mont_mul(z, scale[:, None]), z)
             z = z.at[:, u + 1 :].set(zb[:nchunks])
             zcols.append(z)
-        if nl:
-            a_in = lk_lag
+        if ninst:
+            runtime_pre = jnp.concatenate([adv_lag, lk_lag, dyn_lag, inst_lag], axis=0)
+
+            def get_lag(src):
+                kind, idx = src
+                assert kind in ("rt", "tbl")
+                return runtime_pre[idx] if kind == "rt" else T["lag"][idx]
+
+            a_in, t_in = _compressed_stacks(get_lag, scal[0], (n,))
             a_p = permuted_lag[0::2]
             s_p = permuted_lag[1::2]
-            t_in = jnp.broadcast_to(T["lag"][tix["table"]][None], (nl, n, N_LIMBS))
             numer = df._mont_mul(df._add(a_in, beta_h), df._add(t_in, gamma_h))
             denom = df._mont_mul(df._add(a_p, beta_h), df._add(s_p, gamma_h))
             inv = df._batch_inv(denom.reshape(-1, N_LIMBS)).reshape(denom.shape)
@@ -437,45 +686,48 @@ def create_proof(
         return allz, _affine_canonical(dc, com)
 
     allz_lag, com3 = rt.jit("s3", s3)(
-        T, adv_lag, lk_lag, inst_lag, permuted_lag, scal3, zb_u16, rand_u16
+        T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, scal3, zb_u16, rand_u16
     )
     for pt in _host_points(dc, com3):
         tr.write_point(pt)
     permz_lag = allz_lag[:nchunks]
-    lkz_lag = allz_lag[nchunks : nchunks + nl]
-    rand_lag = allz_lag[nchunks + nl :]
+    lkz_lag = allz_lag[nchunks : nchunks + ninst]
+    rand_lag = allz_lag[nchunks + ninst :]
     _t = _stage("grand products", _t)
 
     y = tr.squeeze_challenge()
 
     # === phase 4: quotient on the extended coset ===========================
     K_gates = na
+    K_chal = len(vk.challenge_pins)
     K_perm = (2 + (nchunks - 1) + nchunks) if nchunks else 0
-    K_lk = 5 * nl
-    K = K_gates + K_perm + K_lk
+    K_lk = 5 * ninst
+    K = K_gates + K_chal + K_perm + K_lk
+    chal_dev = dom.pack([challenges[c] for c, _ in vk.challenge_pins] or [0])
 
     # s4 is split into three jits (IFFT/coset, expressions, MSM): one fused
     # graph was so large that XLA:CPU's compile-cache serialization crashed.
-    def s4a(adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag):
+    def s4a(adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag):
         runtime_lag = jnp.concatenate(
-            [adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag], axis=0
+            [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
         )
         coeffs = dom.ntt.inverse(runtime_lag)
         ext = dom.coset_ntt.forward(_pad_coeff(coeffs, dom.n_ext))
         return coeffs, ext
 
-    def s4b(T, ext, scal, ych):
+    def s4b(T, ext, scal, ych, chal_dev):
         ne = dom.n_ext
         o = 0
         adv_e, o = ext[o : o + na], o + na
         lk_e, o = ext[o : o + nl], o + nl
+        dyn_e, o = ext[o : o + nd], o + nd
         inst_e, o = ext[o : o + vk.num_instance], o + vk.num_instance
-        perm_e, o = ext[o : o + 2 * nl], o + 2 * nl
+        perm_e, o = ext[o : o + 2 * ninst], o + 2 * ninst
         permz_e, o = ext[o : o + nchunks], o + nchunks
-        lkz_e, o = ext[o : o + nl], o + nl
+        lkz_e, o = ext[o : o + ninst], o + ninst
 
-        beta_e = jnp.broadcast_to(scal[0], (ne, N_LIMBS))
-        gamma_e = jnp.broadcast_to(scal[1], (ne, N_LIMBS))
+        beta_e = jnp.broadcast_to(scal[1], (ne, N_LIMBS))
+        gamma_e = jnp.broadcast_to(scal[2], (ne, N_LIMBS))
         one_e = df.one_mont((ne,))
         exprs = []
 
@@ -491,6 +743,12 @@ def create_proof(
             )
             gate_e = df._mont_mul(sel_e, g)
             exprs.extend(gate_e[i] for i in range(na))
+
+        # 1b. challenge pins: q_chal_i * (advice_col - challenge)
+        for i, (_c, flat_col) in enumerate(vk.challenge_pins):
+            q_e = T["ext"][tix[f"chalq{i}"]]
+            diff = df._sub(adv_e[flat_col], jnp.broadcast_to(chal_dev[i], (ne, N_LIMBS)))
+            exprs.append(df._mont_mul(q_e, diff))
 
         # 2. permutation
         if nchunks:
@@ -510,10 +768,12 @@ def create_proof(
                 parts.append(jnp.stack([T["ext"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
             if vk.num_instance:
                 parts.append(inst_e)
+            if nd:
+                parts.append(dyn_e)
             vals_e = jnp.concatenate(parts, axis=0)  # [ncols, ne]
             sigma_e = jnp.stack([T["ext"][tix[f"sigma{ci}"]] for ci in range(ncols)])
-            bd = scal[2:]
-            left_f = df._add(df._add(vals_e, df._mont_mul(sigma_e, scal[0])), gamma_e)
+            bd = scal[3:]
+            left_f = df._add(df._add(vals_e, df._mont_mul(sigma_e, scal[1])), gamma_e)
             right_f = df._add(
                 df._add(vals_e, df._mont_mul(T["x_poly_e"][None], bd[:, None])), gamma_e
             )
@@ -527,23 +787,29 @@ def create_proof(
             chunk_e = df._mont_mul(T["lact_e"][None], df._sub(left, right))
             exprs.extend(chunk_e[j] for j in range(nchunks))
 
-        # 3. lookups
-        if nl:
-            t_e = T["ext"][tix["table"]]
+        # 3. lookups (theta-compressed input/table expressions per instance)
+        if ninst:
+            runtime_pre_e = jnp.concatenate([adv_e, lk_e, dyn_e, inst_e], axis=0)
+
+            def get_ext(src):
+                kind, idx = src
+                return runtime_pre_e[idx] if kind == "rt" else T["ext"][idx]
+
+            a_in_e, t_in_e = _compressed_stacks(get_ext, scal[0], (ne,))
             a_p_e = perm_e[0::2]
             s_p_e = perm_e[1::2]
-            l0b = jnp.broadcast_to(T["l0_e"][None], (nl, ne, N_LIMBS))
-            llb = jnp.broadcast_to(T["llast_e"][None], (nl, ne, N_LIMBS))
-            lab = jnp.broadcast_to(T["lact_e"][None], (nl, ne, N_LIMBS))
-            e1 = df._mont_mul(l0b, df._sub(df.one_mont((nl, ne)), lkz_e))
+            l0b = jnp.broadcast_to(T["l0_e"][None], (ninst, ne, N_LIMBS))
+            llb = jnp.broadcast_to(T["llast_e"][None], (ninst, ne, N_LIMBS))
+            lab = jnp.broadcast_to(T["lact_e"][None], (ninst, ne, N_LIMBS))
+            e1 = df._mont_mul(l0b, df._sub(df.one_mont((ninst, ne)), lkz_e))
             e2 = df._mont_mul(llb, df._sub(df._mont_mul(lkz_e, lkz_e), lkz_e))
             left = df._mont_mul(
                 df._mont_mul(rot(lkz_e, 1), df._add(a_p_e, beta_e)),
                 df._add(s_p_e, gamma_e),
             )
             right = df._mont_mul(
-                df._mont_mul(lkz_e, df._add(lk_e, beta_e)),
-                df._add(t_e[None], gamma_e),
+                df._mont_mul(lkz_e, df._add(a_in_e, beta_e)),
+                df._add(t_in_e, gamma_e),
             )
             e3 = df._mont_mul(lab, df._sub(left, right))
             diff = df._sub(a_p_e, s_p_e)
@@ -551,7 +817,7 @@ def create_proof(
             e5 = df._mont_mul(
                 df._mont_mul(lab, diff), df._sub(a_p_e, rot(a_p_e, -1))
             )
-            for j in range(nl):
+            for j in range(ninst):
                 exprs.extend([e1[j], e2[j], e3[j], e4[j], e5[j]])
 
         assert len(exprs) == K
@@ -570,9 +836,9 @@ def create_proof(
 
     ych = dom.pack([y])[0]
     runtime_coeffs, runtime_ext = rt.jit("s4a", s4a)(
-        adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag
+        adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag
     )
-    h_pieces, top_zero = rt.jit("s4b", s4b)(T, runtime_ext, scal3, ych)
+    h_pieces, top_zero = rt.jit("s4b", s4b)(T, runtime_ext, scal3, ych, chal_dev)
     com4 = rt.jit("s4c", s4c)(T, h_pieces)
     for pt in _host_points(dc, com4):
         tr.write_point(pt)
@@ -582,32 +848,6 @@ def create_proof(
     x = tr.squeeze_challenge()
     pts = point_values(x, k)
     plan = query_plan(vk)
-
-    # label -> (source, index) for coefficient/lagrange stacks
-    def _src(label):
-        o_adv, o_lk = 0, na
-        o_inst = na + nl
-        o_perm = o_inst + vk.num_instance
-        o_permz = o_perm + 2 * nl
-        o_lkz = o_permz + nchunks
-        o_rand = o_lkz + nl
-        if label.startswith("adv"):
-            return ("rt", o_adv + int(label[3:]))
-        if label.startswith("lkcol"):
-            return ("rt", o_lk + int(label[5:]))
-        if label.startswith("permz"):
-            return ("rt", o_permz + int(label[5:]))
-        if label.startswith("lk") and label.endswith("_zl"):
-            return ("rt", o_lkz + int(label[2:-3]))
-        if label.startswith("lk") and label.endswith("_a"):
-            return ("rt", o_perm + 2 * int(label[2:-2]))
-        if label.startswith("lk") and label.endswith("_s"):
-            return ("rt", o_perm + 2 * int(label[2:-2]) + 1)
-        if label == "random":
-            return ("rt", o_rand)
-        if label == "h":
-            return ("h", 0)
-        return ("tbl", rt._tbl_index[label])
 
     # === phase 5: evals ====================================================
     point_list = sorted({pl for _, pls in plan for pl in pls})
@@ -698,10 +938,10 @@ def create_proof(
         [_src(lb) for lb in labels] for _, labels in groups
     ]
 
-    def s6(T, adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
-           vpow_dev, r_dev, s_dev, w_dev):
+    def s6(T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag, h_pieces,
+           h_scal, vpow_dev, r_dev, s_dev, w_dev):
         runtime_lag = jnp.concatenate(
-            [adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag], axis=0
+            [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
         )
         h_comb = _tree_sum(df, df._mont_mul(h_pieces, h_scal[:, None]))
         h_lag = dom.ntt.forward(h_comb)
@@ -747,8 +987,8 @@ def create_proof(
         return gstack, h_open, _affine_canonical(dc, com)
 
     gstack, h_open_lag, com6 = rt.jit("s6", s6)(
-        T, adv_lag, lk_lag, inst_lag, permuted_lag, allz_lag, h_pieces, h_scal,
-        vpow_dev, r_dev, s_dev, w_dev,
+        T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag, h_pieces,
+        h_scal, vpow_dev, r_dev, s_dev, w_dev,
     )
     tr.write_point(_host_points(dc, com6)[0])
 

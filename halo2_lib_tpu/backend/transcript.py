@@ -1,13 +1,15 @@
 """Blake2b Fiat-Shamir transcript (prover writer + verifier reader).
 
 Plays the role of halo2-axiom's `Blake2bWrite`/`Blake2bRead` with
-`Challenge255` (SURVEY.md §2.9). Same construction — a running Blake2b state
-absorbing domain-prefixed points/scalars, challenges squeezed from the state
-and reduced into Fr — with a documented encoding (not byte-compatible with the
-Rust transcript; proofs verify against this library's own verifier).
-
-Encoding: G1 points as 64 bytes (x || y LE, identity = zeros); Fr scalars as
-32 bytes LE. Prefixes: 0 = challenge, 1 = point, 2 = scalar.
+`Challenge255` (SURVEY.md §2.9). Same construction: a running Blake2b-512
+state with personalization "Halo2-Transcript", domain-prefix bytes
+0 = challenge / 1 = point / 2 = scalar, challenges squeezed as the 64-byte
+digest of the current state reduced into Fr (Challenge255 semantics), scalars
+as 32-byte little-endian, and G1 points as 32-byte COMPRESSED encodings:
+little-endian x with the sign of y (parity) in the top bit of the last byte,
+identity = all zeros (x = 0 is off-curve for y^2 = x^3 + 3, so the sentinel
+is unambiguous). Deserialization rejects non-canonical x and off-curve
+points, mirroring halo2curves' checked deserialization.
 """
 
 from __future__ import annotations
@@ -23,9 +25,31 @@ _PREFIX_SCALAR = b"\x02"
 
 
 def _point_bytes(pt) -> bytes:
+    """Compressed G1: 32 bytes, x LE, y-parity in bit 255; identity = zeros."""
     if pt is None:
-        return b"\x00" * 64
-    return pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little")
+        return b"\x00" * 32
+    raw = bytearray(pt[0].to_bytes(32, "little"))
+    if pt[1] & 1:
+        raw[31] |= 0x80
+    return bytes(raw)
+
+
+def _point_from_bytes(raw: bytes):
+    """Decompress + validate; raises on non-canonical or off-curve input."""
+    if raw == b"\x00" * 32:
+        return None
+    q = FQ_BN254.p
+    sign = (raw[31] >> 7) & 1
+    x = int.from_bytes(raw[:31] + bytes([raw[31] & 0x7F]), "little")
+    if x >= q:
+        raise ValueError("transcript: non-canonical point coordinate")
+    rhs = (x * x * x + 3) % q
+    y = pow(rhs, (q + 1) // 4, q)  # q ≡ 3 (mod 4)
+    if y * y % q != rhs:
+        raise ValueError("transcript: point not on curve")
+    if (y & 1) != sign:
+        y = q - y
+    return (x, y)
 
 
 class Blake2bWrite:
@@ -83,25 +107,15 @@ class Blake2bRead:
         self._state.update(b)
 
     def read_point(self):
-        """Read a G1 point; REJECTS non-canonical coordinates and off-curve
-        points (halo2curves deserialization always curve-checks; accepting
-        arbitrary bytes here would let a prover smuggle invalid group
-        elements into the pairing check)."""
-        raw = self._proof[self._pos : self._pos + 64]
-        if len(raw) < 64:
+        """Read a compressed G1 point; REJECTS non-canonical coordinates and
+        off-curve points (halo2curves deserialization always curve-checks;
+        accepting arbitrary bytes here would let a prover smuggle invalid
+        group elements into the pairing check)."""
+        raw = self._proof[self._pos : self._pos + 32]
+        if len(raw) < 32:
             raise ValueError("transcript: unexpected end of proof")
-        self._pos += 64
-        x = int.from_bytes(raw[:32], "little")
-        y = int.from_bytes(raw[32:], "little")
-        if x == 0 and y == 0:
-            pt = None
-        else:
-            q = FQ_BN254.p
-            if x >= q or y >= q:
-                raise ValueError("transcript: non-canonical point coordinate")
-            if (y * y - (x * x * x + 3)) % q != 0:
-                raise ValueError("transcript: point not on curve")
-            pt = (x, y)
+        self._pos += 32
+        pt = _point_from_bytes(raw)
         self.common_point(pt)
         return pt
 

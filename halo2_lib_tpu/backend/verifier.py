@@ -19,6 +19,7 @@ from .protocol import (
     expected_quotient_eval,
     group_queries,
     lagrange_interpolate,
+    lookup_instances,
     perm_chunks,
     point_values,
     poly_eval,
@@ -50,16 +51,34 @@ def verify_proof(
 
     commitments: dict[str, object] = {}
 
-    # --- 1. advice commitments ---
-    for i in range(vk.num_advice):
-        commitments[f"adv{i}"] = tr.read_point()
-    for j in range(vk.num_lookup):
-        commitments[f"lkcol{j}"] = tr.read_point()
+    # --- 1. advice commitments, phase by phase (phase challenges squeezed
+    # between phases, mirroring the prover) ---
+    na_p = vk.num_advice_per_phase or [vk.num_advice]
+    nl_p = vk.num_lookup_per_phase or [vk.num_lookup]
+    nphases = max(len(na_p), 1)
+    adv_flat = lk_flat = 0
+    phase_challenges: list[int] = []
+    for t in range(nphases):
+        for _ in range(na_p[t] if t < len(na_p) else 0):
+            commitments[f"adv{adv_flat}"] = tr.read_point()
+            adv_flat += 1
+        for _ in range(nl_p[t] if t < len(nl_p) else 0):
+            commitments[f"lkcol{lk_flat}"] = tr.read_point()
+            lk_flat += 1
+        if t < nphases - 1:
+            phase_challenges.append(tr.squeeze_challenge())
+    assert adv_flat == vk.num_advice and lk_flat == vk.num_lookup
 
-    tr.squeeze_challenge()  # theta
+    # --- 1b. dynamic-lookup dedicated advice columns ---
+    nd = 2 * sum(vk.dyn_key_cols)
+    for i in range(nd):
+        commitments[f"dyn{i}"] = tr.read_point()
 
-    # --- 2. lookup permuted commitments ---
-    for j in range(vk.num_lookup):
+    theta = tr.squeeze_challenge()
+    ninst = len(lookup_instances(vk))
+
+    # --- 2. lookup permuted commitments (one pair per lookup instance) ---
+    for j in range(ninst):
         commitments[f"lk{j}_a"] = tr.read_point()
         commitments[f"lk{j}_s"] = tr.read_point()
 
@@ -70,7 +89,7 @@ def verify_proof(
     chunks = perm_chunks(len(vk.perm_columns))
     for j in range(len(chunks)):
         commitments[f"permz{j}"] = tr.read_point()
-    for j in range(vk.num_lookup):
+    for j in range(ninst):
         commitments[f"lk{j}_zl"] = tr.read_point()
 
     # --- 4. random poly ---
@@ -101,6 +120,12 @@ def verify_proof(
         commitments["table"] = vk.table_commitment
     for i in range(len(vk.perm_columns)):
         commitments[f"sigma{i}"] = vk.permutation_commitments[i]
+    for i in range(len(vk.challenge_pins)):
+        commitments[f"chalq{i}"] = vk.chal_q_commitments[i]
+    for i in range(2 * len(vk.dyn_key_cols)):
+        commitments[f"dynen{i}"] = vk.dynen_commitments[i]
+    if vk.uses_q_lookup:
+        commitments["qlookup0"] = vk.q_lookup_commitment
     # combined h commitment: sum x^{n i} C_i
     xn = pow(x, n, P)
     h_comb = None
@@ -119,7 +144,13 @@ def verify_proof(
         instance_evals.append(0)
 
     # --- expected quotient eval must match the opened h eval ---
-    challenges = {"beta": beta, "gamma": gamma, "y": y}
+    challenges = {
+        "beta": beta,
+        "gamma": gamma,
+        "y": y,
+        "theta": theta,
+        "phase_challenges": phase_challenges,
+    }
     expected_h = expected_quotient_eval(vk, evals, instance_evals, challenges, x)
     if evals["h"]["x"] != expected_h:
         raise VerificationError("quotient evaluation mismatch")

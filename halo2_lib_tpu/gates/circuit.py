@@ -86,6 +86,12 @@ class PhysicalCircuit:
     witness_gen_only: bool = False
     # resolved dynamic lookups (core/dyn_lookup.py), checked by MockProver
     dyn_lookups: list = dc_field(default_factory=list)
+    # challenge pin cells: (challenge index, phase, col, row) — the advice cell
+    # constrained to equal the phase challenge (builder.constrain_challenge)
+    challenge_pins: list = dc_field(default_factory=list)
+    # dynamic-lookup column sets (core/dyn_lookup.py resolve_columns): per set,
+    # dedicated key/table advice columns + fixed is_enabled toggles
+    dyn_sets: list = dc_field(default_factory=list)
 
     def num_rows(self) -> int:
         return 1 << self.params.k
@@ -107,6 +113,10 @@ class BaseCircuitBuilder:
         self.assigned_instances: list[list[AssignedValue]] = []
         # optional BasicDynLookupManager (core/dyn_lookup.py)
         self.dyn_lookup_manager = None
+        # challenge pins: challenge index c -> canonical AssignedValue that the
+        # proof system constrains to equal the phase-c challenge (see
+        # constrain_challenge)
+        self.challenge_pins: dict[int, AssignedValue] = {}
 
     # --- constructors --------------------------------------------------------
     @staticmethod
@@ -201,6 +211,26 @@ class BaseCircuitBuilder:
     def lookup_bits(self) -> int | None:
         return self.config_params.lookup_bits
 
+    def constrain_challenge(self, av: AssignedValue, c: int, ctx: Context | None = None):
+        """Constrain `av` to equal phase challenge c (usable in phases > c).
+
+        The backend pins ONE canonical cell per challenge with a fixed
+        selector column and the constraint `q_chal * (a - challenge) = 0`
+        (the vertical gate itself has no challenge term — the reference gets
+        challenge expressions from halo2-axiom's `Expression::Challenge`);
+        further uses are copy-constrained to the canonical cell. In
+        Mock/Keygen stages pass witnesses computed from
+        `backend.challenges.mock_challenge(c)`; in real proving, from the
+        values handed to the `phase_fns` closures (backend/prover.py).
+        """
+        canon = self.challenge_pins.get(c)
+        if canon is None:
+            self.challenge_pins[c] = av
+        else:
+            cm = self.core.copy_manager
+            if av.cell is not None and canon.cell is not None:
+                cm.advice_equalities.append((canon.cell, av.cell))
+
     def range_chip(self) -> RangeChip:
         assert self.config_params.lookup_bits is not None, "lookup bits not set"
         return RangeChip(self.config_params.lookup_bits, self.lookup_manager, self.field)
@@ -284,9 +314,9 @@ class BaseCircuitBuilder:
                     if not wg_only:
                         for (cell_tuple) in lm.iter_rows():
                             av = cell_tuple[0]
-                            col, row = cm.assigned_advices[av.cell]
+                            src_phase, col, row = cm.assigned_advices[av.cell]
                             assert row < usable_rows, "range lookup on unusable row"
-                            assert col == 0, "lookup column does not match"
+                            assert col == 0 and src_phase == 0, "lookup column does not match"
                             rows.add(row)
                 else:
                     assert nlookup > 0, "range lookups require lookup advice columns"
@@ -300,9 +330,9 @@ class BaseCircuitBuilder:
 
                         cols[c].append(assigned_to_int(av.value, F))
                         if not wg_only:
-                            src = cm.assigned_advices[av.cell]
+                            sp, sc, sr = cm.assigned_advices[av.cell]
                             copies.append(
-                                (("advice", phase, src[0], src[1]), ("lookup", phase, c, r))
+                                (("advice", sp, sc, sr), ("lookup", phase, c, r))
                             )
                 lm.assigned = True
             else:
@@ -332,15 +362,15 @@ class BaseCircuitBuilder:
 
             cm.advice_equalities.sort()
             for left, right in cm.advice_equalities:
-                lcell = cm.assigned_advices[left]
-                rcell = cm.assigned_advices[right]
+                lp, lc, lr = cm.assigned_advices[left]
+                rp, rc, rr = cm.assigned_advices[right]
                 copies.append(
-                    (("advice", 0, lcell[0], lcell[1]), ("advice", 0, rcell[0], rcell[1]))
+                    (("advice", lp, lc, lr), ("advice", rp, rc, rr))
                 )
             for c, cell in cm.constant_equalities:
                 f = fixed_positions[c]
-                a = cm.assigned_advices[cell]
-                copies.append((("fixed", 0, f[0], f[1]), ("advice", 0, a[0], a[1])))
+                ap, ac, ar = cm.assigned_advices[cell]
+                copies.append((("fixed", 0, f[0], f[1]), ("advice", ap, ac, ar)))
             # physical equalities from column breaks
             for phase, fp in enumerate(phases):
                 for (c1, r1), (c2, r2) in fp.physical_equalities:
@@ -357,14 +387,41 @@ class BaseCircuitBuilder:
             instances.append(vals)
             if not wg_only:
                 for i, av in enumerate(col):
-                    src = cm.assigned_advices[av.cell]
+                    sp, sc, sr = cm.assigned_advices[av.cell]
                     copies.append(
-                        (("advice", 0, src[0], src[1]), ("instance", 0, col_idx, i))
+                        (("advice", sp, sc, sr), ("instance", 0, col_idx, i))
                     )
 
         dyn_lookups = (
             self.dyn_lookup_manager.resolve(F) if self.dyn_lookup_manager is not None else []
         )
+        # dedicated dynamic-lookup columns + copy constraints (real prover)
+        dyn_sets = (
+            self.dyn_lookup_manager.resolve_columns(F, wg_only)
+            if self.dyn_lookup_manager is not None
+            else []
+        )
+        flat = 0
+        for s in dyn_sets:
+            kc = s["key_col"]
+            if not wg_only:
+                for c, r, cell in s["key_copies"]:
+                    sp, sc, sr = cm.assigned_advices[cell]
+                    copies.append((("dynadv", 0, flat + c, r), ("advice", sp, sc, sr)))
+                for c, r, cell in s["table_copies"]:
+                    sp, sc, sr = cm.assigned_advices[cell]
+                    copies.append((("dynadv", 0, flat + kc + c, r), ("advice", sp, sc, sr)))
+            flat += 2 * kc
+
+        challenge_pins: list[tuple[int, int, int, int]] = []
+        if not wg_only:
+            for c in sorted(self.challenge_pins):
+                av = self.challenge_pins[c]
+                pp, pc, pr = cm.assigned_advices[av.cell]
+                assert pp > c, (
+                    f"challenge {c} is only usable in phases > {c}, pinned in phase {pp}"
+                )
+                challenge_pins.append((c, pp, pc, pr))
 
         return PhysicalCircuit(
             params=params,
@@ -378,6 +435,8 @@ class BaseCircuitBuilder:
             instances=instances,
             witness_gen_only=wg_only,
             dyn_lookups=dyn_lookups,
+            challenge_pins=challenge_pins,
+            dyn_sets=dyn_sets,
         )
 
 

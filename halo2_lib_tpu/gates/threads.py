@@ -54,7 +54,7 @@ def batch_evaluate(values: list, field) -> list[int]:
 
 
 class PositionMap:
-    """Arithmetic virtual-cell -> physical-(column, row) map.
+    """Arithmetic virtual-cell -> physical-(phase, column, row) map.
 
     Replaces the per-cell dict the flatten step used to build: a phase's cell
     position is fully determined by its context's start offset in the value
@@ -65,22 +65,24 @@ class PositionMap:
     __slots__ = ("phases", "extra")
 
     def __init__(self, extra: dict | None = None):
-        self.phases: dict[str, tuple[dict[int, int], list[int]]] = {}
+        self.phases: dict[str, tuple[int, dict[int, int], list[int]]] = {}
         self.extra: dict = extra or {}
 
-    def add_phase(self, type_id: str, starts: dict[int, int], bps_stream: list[int]) -> None:
-        self.phases[type_id] = (starts, bps_stream)
+    def add_phase(
+        self, type_id: str, phase: int, starts: dict[int, int], bps_stream: list[int]
+    ) -> None:
+        self.phases[type_id] = (phase, starts, bps_stream)
 
     def __getitem__(self, cell):
         ph = self.phases.get(cell.type_id)
         if ph is None:
             return self.extra[cell]
-        starts, bps = ph
+        phase, starts, bps = ph
         s = starts[cell.context_id] + cell.offset
         import bisect
 
         c = bisect.bisect_left(bps, s)
-        return (c, s - (bps[c - 1] if c else 0))
+        return (phase, c, s - (bps[c - 1] if c else 0))
 
     def get(self, cell, default=None):
         try:
@@ -245,7 +247,7 @@ class SinglePhaseCoreManager:
         if not isinstance(pm, PositionMap):
             pm = PositionMap(dict(pm) if pm else {})
             self.copy_manager.assigned_advices = pm
-        pm.add_phase(type_id, starts, bps_stream)
+        pm.add_phase(type_id, self.phase, starts, bps_stream)
 
         if self.break_points is not None:
             assert self.break_points == out.break_points, "break points don't match"

@@ -289,14 +289,17 @@ class DeviceCurve:
 
     def pack_points_affine(self, points):
         """Host affine points ((x, y) or None) -> (Ax, Ay) Montgomery limbs,
-        identity encoded as the (0, 0) sentinel."""
+        identity encoded as the (0, 0) sentinel. The Montgomery conversion
+        runs on device (one to_mont dispatch, no host bigint modmuls)."""
         from .limbs import ints_to_limbs
 
-        p = self.df.p_int
-        R = self.df.R
-        xs = [0 if pt is None else (pt[0] * R) % p for pt in points]
-        ys = [0 if pt is None else (pt[1] * R) % p for pt in points]
-        return jnp.asarray(ints_to_limbs(xs)), jnp.asarray(ints_to_limbs(ys))
+        xs = [0 if pt is None else pt[0] for pt in points]
+        ys = [0 if pt is None else pt[1] for pt in points]
+        to_mont = jax.jit(self.df._to_mont)
+        return (
+            to_mont(jnp.asarray(ints_to_limbs(xs))),
+            to_mont(jnp.asarray(ints_to_limbs(ys))),
+        )
 
     # --- reductions -----------------------------------------------------------
     def tree_reduce(self, P):

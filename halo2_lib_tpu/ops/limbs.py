@@ -58,6 +58,17 @@ def _limbs_to_int(a) -> int:
 
 def ints_to_limbs(values: list[int], n: int = N_LIMBS) -> np.ndarray:
     """Vectorized packing: list of ints (< 2^(16n)) -> uint32[len, n] limbs."""
+    try:
+        # fast path: every value < 2^63 packs through one numpy conversion
+        # (selector/table/index columns; the common keygen case)
+        a = np.array(values, dtype=np.int64)
+        if len(a) and a.min() >= 0:
+            out = np.zeros((len(a), n), dtype=np.uint32)
+            u16 = a.astype(np.uint64).view(np.uint16).reshape(len(a), 4)
+            out[:, : min(4, n)] = u16[:, : min(4, n)]
+            return out
+    except (OverflowError, TypeError):
+        pass
     nbytes = 2 * n
     buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
     u16 = np.frombuffer(buf, dtype="<u2").reshape(len(values), n)
@@ -166,11 +177,31 @@ class DeviceField:
         return jnp.stack(out, axis=-1)
 
     # --- ring ops (Montgomery-form in, Montgomery-form out) -------------------
+    # TPU dispatch threshold for elementwise add/sub: below this flattened
+    # element count the pallas launch overhead beats the XLA padding waste.
+    _PALLAS_ELEMWISE_MIN = 4096
+
+    def _addsub_pallas(self, a, b, is_add):
+        if _use_pallas():
+            shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+            n = int(np.prod(shape)) if shape else 1
+            if n >= self._PALLAS_ELEMWISE_MIN:
+                from . import pallas_field
+
+                return pallas_field.field_addsub(self, a, b, is_add)
+        return None
+
     def _add(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        out = self._addsub_pallas(a, b, True)
+        if out is not None:
+            return out
         s = self._carry(a + b, N_LIMBS + 1)
         return self._cond_sub_p(s)
 
     def _sub(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        out = self._addsub_pallas(a, b, False)
+        if out is not None:
+            return out
         # borrow-chain subtract, then add p back where a < b
         P = jnp.asarray(self.P)
         diff = []

@@ -25,6 +25,15 @@ import jax.numpy as jnp
 from .limbs import N_LIMBS, DeviceField
 
 
+# Fixed column-chunk for batched transforms. All batched NTT calls are
+# routed through a lax.map over [CHUNK, n, 16] blocks, so the (large,
+# log n-stage) butterfly graph is traced/compiled ONCE per n — independent
+# of how many columns a circuit has. Without this, every distinct column
+# count is a separate multi-minute XLA compile of an unrolled 15-17 stage
+# Montgomery graph (and a separate persistent-cache entry).
+NTT_CHUNK = 8
+
+
 class NTT:
     """NTT/INTT of size 2^log_n over df.field (which must have 2-adicity >= log_n).
 
@@ -49,8 +58,8 @@ class NTT:
         half = max(self.n // 2, 1)
         self._tw = {True: _pows_device(df, w, half), False: _pows_device(df, w_inv, half)}
         self.n_inv_mont = df.pack(self.n_inv)
-        self._fwd = jax.jit(lambda x: self._transform(x, True))
-        self._bwd = jax.jit(lambda x: self._transform(x, False))
+        self._fwd = jax.jit(lambda x: self._mapped(x, True))
+        self._bwd = jax.jit(lambda x: self._mapped(x, False))
 
     def _table(self, forward: bool) -> jax.Array:
         """[n/2, 16] Montgomery twiddles w^k."""
@@ -78,6 +87,23 @@ class NTT:
             ).reshape(batch + (m, 2 * s, N_LIMBS))
             n, s = m, 2 * s
         return x.reshape(batch + (N, N_LIMBS))
+
+    def _mapped(self, x: jax.Array, forward: bool) -> jax.Array:
+        """Run the transform over fixed-size column chunks (see NTT_CHUNK)."""
+        batch = x.shape[:-2]
+        tail = x.shape[-2:]
+        B = 1
+        for d in batch:
+            B *= d
+        xf = x.reshape((B,) + tail)
+        pad = (-B) % NTT_CHUNK
+        if pad:
+            xf = jnp.pad(xf, ((0, pad), (0, 0), (0, 0)))
+        body = (lambda c: self._transform(c, True)) if forward else (
+            lambda c: self._transform(c, False)
+        )
+        out = jax.lax.map(body, xf.reshape((-1, NTT_CHUNK) + tail))
+        return out.reshape((-1,) + tail)[:B].reshape(batch + tail)
 
     def forward(self, coeffs: jax.Array) -> jax.Array:
         """Evaluations at w^i (natural order) from coefficients. Montgomery in/out."""

@@ -362,6 +362,27 @@ def _ec_double_kernel(x1, y1, z1, ox, oy, oz, *, df: DeviceField):
 
 
 # --- host-callable wrappers ---------------------------------------------------
+#
+# Size bucketing: each pallas_call specializes on its grid size, and a Mosaic
+# EC-kernel compile costs ~10-25 s on remote TPU backends. Wrappers therefore
+# pad the flattened batch up to the next power-of-two multiple of BLK — at
+# most 2x padded work, but the number of compiled kernel variants collapses
+# from "one per distinct tensor size in the prover" to <= log2(max_n/BLK) per
+# kernel body (and the persistent cache makes even those one-time). Zero
+# padding is semantically inert for every kernel here: zero limbs are the
+# field 0, the Jacobian identity (Z=0), and the dead affine sentinel (0,0).
+
+
+def _bucket(n: int) -> int:
+    b = BLK
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_flat(t, nb: int):
+    n = t.shape[0]
+    return t if n == nb else jnp.pad(t, ((0, nb - n), (0, 0)))
 
 
 def _vspec():
@@ -420,28 +441,34 @@ def _flatten(t):
 
 
 def mont_mul(df: DeviceField, a, b, interpret: bool = False):
-    """Pallas Montgomery product; falls back to the XLA path off-block sizes."""
+    """Pallas Montgomery product (bucket-padded; see bucketing note above)."""
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    n = int(np.prod(shape)) if shape else 1
+    if n == 0:
+        return jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
     a = jnp.broadcast_to(a, shape + (N_LIMBS,))
     b = jnp.broadcast_to(b, shape + (N_LIMBS,))
-    n = int(np.prod(shape)) if shape else 1
-    if n % BLK:
-        return df._mont_mul_xla(a, b)
-    out = _mm_call(df.p_int, n, interpret)(_flatten(a), _flatten(b))
-    return out.reshape(shape + (N_LIMBS,))
+    nb = _bucket(n)
+    out = _mm_call(df.p_int, nb, interpret)(
+        _pad_flat(_flatten(a), nb), _pad_flat(_flatten(b), nb)
+    )
+    return out[:n].reshape(shape + (N_LIMBS,))
 
 
 def ec_add(dc, P1, P2, interpret: bool = False):
     """Pallas complete Jacobian add over flattened batch dims."""
     shape = jnp.broadcast_shapes(P1[0].shape[:-1], P2[0].shape[:-1])
     n = int(np.prod(shape)) if shape else 1
-    if n % BLK:
-        return dc._add_xla(P1, P2)
+    if n == 0:
+        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+        return (z, z, z)
+    nb = _bucket(n)
     args = [
-        _flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))) for t in (*P1, *P2)
+        _pad_flat(_flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))), nb)
+        for t in (*P1, *P2)
     ]
-    outs = _ec_add_call(dc.df.p_int, n, interpret)(*args)
-    return tuple(t.reshape(shape + (N_LIMBS,)) for t in outs)
+    outs = _ec_add_call(dc.df.p_int, nb, interpret)(*args)
+    return tuple(t[:n].reshape(shape + (N_LIMBS,)) for t in outs)
 
 
 @functools.lru_cache(maxsize=None)
@@ -464,24 +491,29 @@ def ec_madd(dc, P1, A2, distinct: bool, interpret: bool = False):
     """Pallas mixed Jacobian+affine add over flattened batch dims."""
     shape = jnp.broadcast_shapes(P1[0].shape[:-1], A2[0].shape[:-1])
     n = int(np.prod(shape)) if shape else 1
-    if n % BLK:
-        return dc._madd_xla(P1, A2, distinct)
+    if n == 0:
+        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+        return (z, z, z)
+    nb = _bucket(n)
     args = [
-        _flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))) for t in (*P1, *A2)
+        _pad_flat(_flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))), nb)
+        for t in (*P1, *A2)
     ]
-    outs = _ec_madd_call(dc.df.p_int, n, distinct, interpret)(*args)
-    return tuple(t.reshape(shape + (N_LIMBS,)) for t in outs)
+    outs = _ec_madd_call(dc.df.p_int, nb, distinct, interpret)(*args)
+    return tuple(t[:n].reshape(shape + (N_LIMBS,)) for t in outs)
 
 
 def ec_double(dc, P, interpret: bool = False):
     """Pallas Jacobian doubling over flattened batch dims."""
     shape = P[0].shape[:-1]
     n = int(np.prod(shape)) if shape else 1
-    if n % BLK:
-        return dc._double_xla(P)
-    args = [_flatten(t) for t in P]
-    outs = _ec_double_call(dc.df.p_int, n, interpret)(*args)
-    return tuple(t.reshape(shape + (N_LIMBS,)) for t in outs)
+    if n == 0:
+        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+        return (z, z, z)
+    nb = _bucket(n)
+    args = [_pad_flat(_flatten(t), nb) for t in P]
+    outs = _ec_double_call(dc.df.p_int, nb, interpret)(*args)
+    return tuple(t[:n].reshape(shape + (N_LIMBS,)) for t in outs)
 
 
 # --- NTT butterfly ------------------------------------------------------------
@@ -514,13 +546,64 @@ def _butterfly_call(p_int: int, n: int, interpret: bool):
 
 
 def ntt_butterfly(df: DeviceField, a, b, w, interpret: bool = False):
-    """(a + b, (a - b) * w) fused; XLA fallback off-block sizes."""
+    """(a + b, (a - b) * w) fused over flattened batch dims."""
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1], w.shape[:-1])
     n = int(np.prod(shape)) if shape else 1
-    if n % BLK:
-        return df._add(a, b), df._mont_mul_xla(df._sub(a, b), w)
+    if n == 0:
+        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+        return (z, z)
+    nb = _bucket(n)
     args = [
-        _flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))) for t in (a, b, w)
+        _pad_flat(_flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))), nb)
+        for t in (a, b, w)
     ]
-    top, bot = _butterfly_call(df.p_int, n, interpret)(*args)
-    return top.reshape(shape + (N_LIMBS,)), bot.reshape(shape + (N_LIMBS,))
+    top, bot = _butterfly_call(df.p_int, nb, interpret)(*args)
+    return top[:n].reshape(shape + (N_LIMBS,)), bot[:n].reshape(shape + (N_LIMBS,))
+
+
+# --- elementwise field add/sub ------------------------------------------------
+# The XLA [..., 16] limb layout pads the 16-wide lane axis to 128 on TPU, so
+# every XLA elementwise field op moves 8x the bytes (and per-limb carry-chain
+# temps [n, 1] pad 128x). For large tensors the VMEM-fused pallas kernels with
+# limb-major [16, BLK] blocks are both smaller and faster; DeviceField
+# dispatches here above a size threshold (ops/limbs.py).
+
+
+def _field_add_kernel(a_ref, b_ref, o_ref, *, df: DeviceField):
+    _, _, p17 = _consts_for(df)
+    o_ref[:] = _add_f(a_ref[:].T, b_ref[:].T, p17).T
+
+
+def _field_sub_kernel(a_ref, b_ref, o_ref, *, df: DeviceField):
+    _, p_rows, _ = _consts_for(df)
+    o_ref[:] = _sub_f(a_ref[:].T, b_ref[:].T, p_rows).T
+
+
+@functools.lru_cache(maxsize=None)
+def _field_addsub_call(p_int: int, n: int, is_add: bool, interpret: bool):
+    from ..utils.fields import PrimeField
+
+    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
+    kern = _field_add_kernel if is_add else _field_sub_kernel
+    return pl.pallas_call(
+        functools.partial(kern, df=df),
+        out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
+        grid=(n // BLK,),
+        in_specs=[_vspec(), _vspec()],
+        out_specs=_vspec(),
+        interpret=interpret,
+    )
+
+
+def field_addsub(df: DeviceField, a, b, is_add: bool, interpret: bool = False):
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    n = int(np.prod(shape)) if shape else 1
+    if n == 0:
+        return jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+    a = jnp.broadcast_to(a, shape + (N_LIMBS,))
+    b = jnp.broadcast_to(b, shape + (N_LIMBS,))
+    nb = _bucket(n)
+    out = _field_addsub_call(df.p_int, nb, is_add, interpret)(
+        _pad_flat(_flatten(a), nb), _pad_flat(_flatten(b), nb)
+    )
+    return out[:n].reshape(shape + (N_LIMBS,))

@@ -51,3 +51,41 @@ def test_ram_bad_read_fails():
     builder = build_ram_circuit(tamper=True)
     errors = MockProver.run(10, builder).verify()
     assert errors and "dyn lookup" in errors[0]
+
+
+def test_ram_real_prover_roundtrip():
+    """RAM circuit through keygen + create_proof + verify_proof — the real
+    dynamic-lookup argument (theta-compressed multi-column halo2 lookup),
+    mirroring the reference RAMCircuit test through the real prover
+    (virtual_region/tests/lookups/memory.rs)."""
+    from halo2_lib_tpu.backend.keygen import keygen
+    from halo2_lib_tpu.backend.kzg import gen_srs
+    from halo2_lib_tpu.backend.prover import create_proof
+    from halo2_lib_tpu.backend.verifier import verify_proof
+
+    k = 9
+    builder = build_ram_circuit(k=k)
+    p = builder.config_params
+    p.num_advice_per_phase[0] = max(p.num_advice_per_phase[0], 2)
+    params = gen_srs(k)
+    pk = keygen(params, builder)
+    assert pk.vk.dyn_key_cols == [2]
+    proof = create_proof(params, pk, builder.synthesize())
+    assert verify_proof(params, pk.vk, proof)
+
+
+def test_ram_real_prover_tamper_fails():
+    """A tampered read must make proving fail (the compressed key is not in
+    the compressed table, so permute_expression_pair cannot align them)."""
+    from halo2_lib_tpu.backend.keygen import keygen
+    from halo2_lib_tpu.backend.kzg import gen_srs
+    from halo2_lib_tpu.backend.prover import create_proof
+
+    k = 9
+    builder = build_ram_circuit(tamper=True, k=k)
+    p = builder.config_params
+    p.num_advice_per_phase[0] = max(p.num_advice_per_phase[0], 2)
+    params = gen_srs(k)
+    pk = keygen(params, builder)
+    with pytest.raises((ValueError, AssertionError)):
+        create_proof(params, pk, builder.synthesize())

@@ -14,8 +14,11 @@ from halo2_lib_tpu.utils.curves import SECP256K1
 
 LIMB_BITS = 88
 NUM_LIMBS = 3
-K = 18
-LOOKUP_BITS = 17
+# Fast tier: same circuit reshaped to k=12 (rows-vs-columns tradeoff at
+# constant cells, README "Configurable Circuits"); the reference-published
+# k=18 shape runs in test_configs.py::test_ecdsa_config_circuit_full (slow).
+K = 12
+LOOKUP_BITS = 11
 
 
 def run_ecdsa(pubkey, r, s, msghash, expected_bit: int):

@@ -93,6 +93,27 @@ def test_wrong_witness_fails(params):
         verify_proof(params, pk.vk, proof)
 
 
+def test_q_lookup_single_column_prover(params):
+    """Single-advice-column circuit proves through the q_lookup selector path
+    (reference range/mod.rs:88-108: q_lookup * a_0 in the lookup argument)."""
+    builder = BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(K)
+    builder.set_lookup_bits(8)
+    rc = builder.range_chip()
+    ctx = builder.main(0)
+    x = ctx.load_witness(0xAB)
+    rc.range_check(ctx, x, 8)
+    y = rc.gate.add(ctx, Existing(x), Constant(1))
+    rc.range_check(ctx, y, 8)
+    builder.calculate_params(minimum_rows=9)
+    p = builder.config_params
+    assert p.num_advice_per_phase[0] == 1
+    p.num_lookup_advice_per_phase[0] = max(p.num_lookup_advice_per_phase[0], 1)
+    pk = keygen(params, builder)
+    assert pk.vk.uses_q_lookup
+    proof = create_proof(params, pk, builder)
+    assert verify_proof(params, pk.vk, proof)
+
+
 def test_srs_roundtrip(tmp_path, params):
     path = str(tmp_path / "test.srs")
     params.write(path)
