@@ -32,6 +32,14 @@ class Rational:
     def __repr__(self):
         return f"Rational({self.num}/{self.den})"
 
+    def __eq__(self, other):
+        if type(other) is Rational:
+            return self.num == other.num and self.den == other.den
+        return NotImplemented
+
+    def __hash__(self):
+        return hash((self.num, self.den))
+
 
 AssignedInt = Union[int, Rational]
 

@@ -21,6 +21,19 @@ from .cells import (
 )
 from .copy_constraints import CopyConstraintManager
 
+_REGION = False
+_tnew = tuple.__new__
+
+
+def _region_mod():
+    """Native assign_region emitter module (lazy; None when unavailable)."""
+    global _REGION
+    if _REGION is False:
+        from ..native import get_region_mod
+
+        _REGION = get_region_mod()
+    return _REGION
+
 
 class Context:
     __slots__ = (
@@ -61,7 +74,8 @@ class Context:
         return (self.type_id, self.context_id)
 
     def _latest_cell(self) -> ContextCell:
-        return ContextCell(self.type_id, self.context_id, len(self.advice) - 1)
+        # tuple.__new__ skips the generated namedtuple __new__ (hot path)
+        return _tnew(ContextCell, (self.type_id, self.context_id, len(self.advice) - 1))
 
     # --- core assignment ---------------------------------------------------
     def assign_cell(self, input) -> None:
@@ -93,7 +107,9 @@ class Context:
         if offset < 0:
             offset += len(self.advice)
         assert 0 <= offset < len(self.advice)
-        cell = None if self.witness_gen_only else ContextCell(self.type_id, self.context_id, offset)
+        cell = None if self.witness_gen_only else _tnew(
+            ContextCell, (self.type_id, self.context_id, offset)
+        )
         return AssignedValue(self.advice[offset], cell)
 
     def constrain_equal(self, a: AssignedValue, b: AssignedValue) -> None:
@@ -102,6 +118,10 @@ class Context:
 
     def assign_region(self, inputs, gate_offsets) -> None:
         """Push cells and enable the vertical gate at relative offsets (lib.rs:310-335)."""
+        nat = _region_mod()
+        if nat is not None and type(inputs) is list and type(gate_offsets) is list:
+            if nat.emit_region(self, inputs, gate_offsets) >= 0:
+                return
         if self.witness_gen_only:
             for input in inputs:
                 self.assign_cell(input)
@@ -126,17 +146,16 @@ class Context:
         self.assign_region(inputs, gate_offsets)
         if not self.witness_gen_only:
             adv_eq = self.copy_manager.advice_equalities
+            tid, cid = self.type_id, self.context_id
             for off1, off2 in equality_offsets:
                 adv_eq.append(
                     (
-                        ContextCell(self.type_id, self.context_id, row_offset + off1),
-                        ContextCell(self.type_id, self.context_id, row_offset + off2),
+                        _tnew(ContextCell, (tid, cid, row_offset + off1)),
+                        _tnew(ContextCell, (tid, cid, row_offset + off2)),
                     )
                 )
             for cell, offset in external_equality:
-                adv_eq.append(
-                    (cell, ContextCell(self.type_id, self.context_id, row_offset + offset))
-                )
+                adv_eq.append((cell, _tnew(ContextCell, (tid, cid, row_offset + offset))))
 
     def assign_witnesses(self, witnesses) -> list[AssignedValue]:
         row_offset = len(self.advice)
@@ -144,9 +163,10 @@ class Context:
 
         self.assign_region([Witness(int(w)) for w in witnesses], [])
         wg = self.witness_gen_only
+        tid, cid = self.type_id, self.context_id
         out = []
         for i, v in enumerate(self.advice[row_offset:]):
-            cell = None if wg else ContextCell(self.type_id, self.context_id, row_offset + i)
+            cell = None if wg else _tnew(ContextCell, (tid, cid, row_offset + i))
             out.append(AssignedValue(v, cell))
         return out
 

@@ -37,6 +37,9 @@ class GateChip:
         p = field.p
         # 2^i mod p for i in 0..NUM_BITS (flex_gate/mod.rs:916-929)
         self.pow_of_two = [pow(2, i, p) for i in range(field.num_bits)]
+        from ..native import get_emitter
+
+        self._nat = get_emitter(p)
 
     # --- basic arithmetic ---------------------------------------------------
     def add(self, ctx: Context, a, b) -> AssignedValue:
@@ -117,6 +120,10 @@ class GateChip:
         (flex_gate/mod.rs:940-978)
         """
         assert len(a) == len(b)
+        if self._nat is not None:
+            r = self._nat.inner_product(ctx, a, b)
+            if r >= 0:
+                return bool(r)
         F = self.F
         b_starts_with_one = bool(b) and b[0].kind == _CONSTANT and b[0].val == 1
         cells: list[QCell] = []

@@ -61,6 +61,69 @@ def _unpack32(raw: bytes):
     return [int.from_bytes(raw[i : i + 32], "little") for i in range(0, len(raw), 32)]
 
 
+_EMITTERS: dict[int, "NativeEmitter | None"] = {}
+_CLASSES_SET = False
+
+
+def _register_classes(mod) -> None:
+    """Hand the eDSL cell classes to the C module (once)."""
+    global _CLASSES_SET
+    if not _CLASSES_SET:
+        from .core.cells import AssignedValue, ContextCell, QCell
+
+        mod.set_classes(ContextCell, QCell, AssignedValue)
+        _CLASSES_SET = True
+
+
+_REGION_MOD: object = False
+
+
+def get_region_mod():
+    """The C module exposing emit_region, classes registered; None if absent."""
+    global _REGION_MOD
+    if _REGION_MOD is not False:
+        return _REGION_MOD
+    mod = get_native()
+    if mod is None or not hasattr(mod, "emit_region"):
+        _REGION_MOD = None
+    else:
+        _register_classes(mod)
+        _REGION_MOD = mod
+    return _REGION_MOD
+
+
+def get_emitter(p: int):
+    """Per-field native cell emitter, or None when the extension is absent."""
+    em = _EMITTERS.get(p, False)
+    if em is not False:
+        return em
+    mod = get_native()
+    em = NativeEmitter(p, mod) if mod is not None and hasattr(mod, "emit_inner_product") else None
+    _EMITTERS[p] = em
+    return em
+
+
+class NativeEmitter:
+    """Bulk emitters for hot gadget cell layouts (native witness engine).
+
+    Python keeps the layout spec and the fallback path; a C call does the
+    per-cell work (field arithmetic, advice/selector appends, copy tuples).
+    """
+
+    __slots__ = ("_p", "_r2", "mod")
+
+    def __init__(self, p: int, mod):
+        self._p = p.to_bytes(32, "little")
+        self._r2 = pow(2, 512, p).to_bytes(32, "little")
+        self.mod = mod
+        _register_classes(mod)
+
+    def inner_product(self, ctx, a: list, b: list) -> int:
+        """Emit the running-sum inner product; -1 = caller must fall back,
+        else returns the b[0]==Constant(1) flag (0/1)."""
+        return self.mod.emit_inner_product(self._p, self._r2, ctx, a, b)
+
+
 class NativeField:
     """Bulk canonical-form field ops over a prime < 2^256."""
 

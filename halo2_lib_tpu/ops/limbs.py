@@ -69,10 +69,28 @@ def ints_to_limbs(values: list[int], n: int = N_LIMBS) -> np.ndarray:
             return out
     except (OverflowError, TypeError):
         pass
-    nbytes = 2 * n
-    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in values)
-    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(values), n)
-    return u16.astype(np.uint32)
+    N = len(values)
+    if N == 0:
+        return np.zeros((0, n), dtype=np.uint32)
+    # mixed path: one oversized constant must not push the whole (often
+    # mostly-small) array down the per-int to_bytes path — pack the < 2^63
+    # bulk through numpy and only the big stragglers per-int.
+    lim = 1 << 63
+    small = np.fromiter(
+        ((v if type(v) is int and 0 <= v < lim else -1) for v in values),
+        dtype=np.int64,
+        count=N,
+    )
+    big_idx = np.nonzero(small < 0)[0]
+    out = np.zeros((N, n), dtype=np.uint32)
+    u16 = np.where(small < 0, 0, small).astype(np.uint64).view(np.uint16).reshape(N, 4)
+    out[:, : min(4, n)] = u16[:, : min(4, n)]
+    if len(big_idx):
+        nbytes = 2 * n
+        buf = b"".join(int(values[i]).to_bytes(nbytes, "little") for i in big_idx)
+        bu = np.frombuffer(buf, dtype="<u2").reshape(len(big_idx), n)
+        out[big_idx] = bu
+    return out
 
 
 def limbs_to_ints(arr) -> list[int]:

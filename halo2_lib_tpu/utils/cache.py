@@ -32,6 +32,11 @@ def _host_fingerprint() -> str:
             flags = [line for line in f if line.startswith("flags")][0]
     except Exception:
         flags = os.uname().machine
+    # Key by the requested platform set too: under remote-compile backends
+    # (axon) even XLA:CPU entries are compiled on the service's machine, whose
+    # LLVM target features differ from this host's — sharing a dir with pure
+    # CPU sessions loads foreign AOT code (cpu_aot_loader feature mismatch).
+    flags += "|" + os.environ.get("JAX_PLATFORMS", "")
     return hashlib.sha1(flags.encode()).hexdigest()[:12]
 
 

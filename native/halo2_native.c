@@ -206,12 +206,411 @@ DEF_VEC_OP(modmul_vec, mulmod)
 DEF_VEC_OP(modadd_vec, addmod)
 DEF_VEC_OP(modsub_vec, submod)
 
+/* ---- witness-engine emitters ------------------------------------------ *
+ *
+ * Bulk cell emission for the hot gadget layouts (the role of the reference's
+ * native witness generation, halo2-base flex_gate/mod.rs:940-978). The
+ * Python gadget keeps the API and the layout spec; the per-cell work
+ * (field arithmetic, advice/selector appends, copy-constraint tuples)
+ * happens here. Python falls back to its pure path whenever the emitter
+ * returns -1 (Rational values, oversized ints, unexpected shapes).
+ */
+
+static PyObject *g_contextcell = NULL;   /* core.cells.ContextCell */
+static PyObject *g_qcell = NULL;         /* core.cells.QCell */
+static PyObject *g_assignedvalue = NULL; /* core.cells.AssignedValue */
+static PyObject *s_kind, *s_val, *s_value, *s_cell, *s_advice, *s_selector,
+    *s_copy_manager, *s_adv_eq, *s_const_eq, *s_type_id, *s_context_id,
+    *s_wg_only;
+
+static PyObject *py_set_classes(PyObject *self, PyObject *args) {
+    PyObject *cc, *qc = NULL, *av = NULL;
+    if (!PyArg_ParseTuple(args, "O|OO", &cc, &qc, &av)) return NULL;
+    Py_XDECREF(g_contextcell);
+    g_contextcell = cc;
+    Py_INCREF(cc);
+    if (qc) {
+        Py_XDECREF(g_qcell);
+        g_qcell = qc;
+        Py_INCREF(qc);
+    }
+    if (av) {
+        Py_XDECREF(g_assignedvalue);
+        g_assignedvalue = av;
+        Py_INCREF(av);
+    }
+    Py_RETURN_NONE;
+}
+
+/* ContextCell(type_id, context_id, offset) without the Python-level
+ * namedtuple __new__: tuple.__new__(cls, (tid, cid, off)). */
+static PyObject *make_cell(PyObject *tid, PyObject *cid, Py_ssize_t off) {
+    PyObject *off_o = PyLong_FromSsize_t(off);
+    if (!off_o) return NULL;
+    PyObject *inner = PyTuple_Pack(3, tid, cid, off_o);
+    Py_DECREF(off_o);
+    if (!inner) return NULL;
+    PyObject *args = PyTuple_Pack(1, inner);
+    Py_DECREF(inner);
+    if (!args) return NULL;
+    PyObject *cell = PyTuple_Type.tp_new((PyTypeObject *)g_contextcell, args, NULL);
+    Py_DECREF(args);
+    return cell;
+}
+
+/* canonical u64[4] from a PyLong in [0, 2^256); reduces mod p. 0 ok, -1 fallback */
+static int load_fe(PyObject *obj, u64 out[4], const FieldCtx *f) {
+    if (!PyLong_Check(obj)) return -1;
+    unsigned char buf[32];
+    if (_PyLong_AsByteArray((PyLongObject *)obj, buf, 32, 1, 0) < 0) {
+        PyErr_Clear();
+        return -1;
+    }
+    memcpy(out, buf, 32);
+    while (geq(out, f->p) && (out[3] | out[2] | out[1] | out[0]))
+        sub4(out, out, f->p);
+    return 0;
+}
+
+static PyObject *fe_to_long(const u64 v[4]) {
+    return _PyLong_FromByteArray((const unsigned char *)v, 32, 1, 0);
+}
+
+enum { K_EXISTING = 0, K_WITNESS = 1, K_FRACTION = 2, K_CONSTANT = 3 };
+
+/* One parsed QCell. */
+typedef struct {
+    long kind;
+    PyObject *value;   /* borrowed: the int value object */
+    PyObject *cell;    /* borrowed: ContextCell for Existing, else NULL */
+    u64 fe[4];
+} QC;
+
+/* parse one QCell; 0 ok, -1 fallback-to-python */
+static int parse_qc(PyObject *q, QC *out, const FieldCtx *f, int need_fe) {
+    PyObject *kind_o = PyObject_GetAttr(q, s_kind);
+    if (!kind_o) return -1;
+    out->kind = PyLong_AsLong(kind_o);
+    Py_DECREF(kind_o);
+    PyObject *val = PyObject_GetAttr(q, s_val);
+    if (!val) return -1;
+    out->cell = NULL;
+    if (out->kind == K_EXISTING) {
+        /* val is an AssignedValue: .value (int) + .cell */
+        PyObject *v = PyObject_GetAttr(val, s_value);
+        if (!v) { Py_DECREF(val); return -1; }
+        PyObject *cell = PyObject_GetAttr(val, s_cell);
+        Py_DECREF(val);
+        if (!cell) { Py_DECREF(v); return -1; }
+        /* borrow via the ctx-owned objects: the AssignedValue keeps them alive
+         * for the duration of the call (caller holds the QCell list). */
+        Py_DECREF(v);
+        Py_DECREF(cell);
+        out->value = v;
+        out->cell = (cell == Py_None) ? NULL : cell;
+    } else if (out->kind == K_WITNESS || out->kind == K_CONSTANT) {
+        Py_DECREF(val);
+        out->value = val;
+    } else {
+        Py_DECREF(val);
+        return -1; /* WitnessFraction: python path handles batch inversion */
+    }
+    if (need_fe && load_fe(out->value, out->fe, f) < 0) return -1;
+    return 0;
+}
+
+/* emit_inner_product(p32, r2_32, ctx, a_list, b_list)
+ *   -> 1 if b[0]==Constant(1) layout, 0 otherwise, -1 = caller must fall back
+ * Appends the running-sum inner-product region (flex_gate/mod.rs:940-978):
+ * cells, vertical-gate selectors every 3 rows, copy tuples for
+ * Existing/Constant inputs. Python side does nothing else afterwards. */
+static PyObject *py_emit_inner_product(PyObject *self, PyObject *args) {
+    Py_buffer pb, r2b;
+    PyObject *ctx, *alist, *blist;
+    if (!PyArg_ParseTuple(args, "y*y*OOO", &pb, &r2b, &ctx, &alist, &blist))
+        return NULL;
+    FieldCtx f;
+    ctx_from_bytes(&f, pb.buf, r2b.buf);
+    PyBuffer_Release(&pb);
+    PyBuffer_Release(&r2b);
+
+    long result = -1;
+    PyObject *advice = NULL, *selector = NULL, *cm = NULL, *adv_eq = NULL,
+             *const_eq = NULL, *tid = NULL, *cid = NULL;
+    QC *aq = NULL, *bq = NULL;
+
+    if (!g_contextcell || !PyList_Check(alist) || !PyList_Check(blist)) goto fallback;
+    Py_ssize_t n = PyList_GET_SIZE(alist);
+    if (PyList_GET_SIZE(blist) != n || n == 0) goto fallback;
+
+    advice = PyObject_GetAttr(ctx, s_advice);
+    selector = PyObject_GetAttr(ctx, s_selector);
+    cm = PyObject_GetAttr(ctx, s_copy_manager);
+    tid = PyObject_GetAttr(ctx, s_type_id);
+    cid = PyObject_GetAttr(ctx, s_context_id);
+    PyObject *wg_o = PyObject_GetAttr(ctx, s_wg_only);
+    if (!advice || !selector || !cm || !tid || !cid || !wg_o) {
+        Py_XDECREF(wg_o);
+        goto fallback;
+    }
+    int wg_only = PyObject_IsTrue(wg_o);
+    Py_DECREF(wg_o);
+    if (!wg_only) {
+        adv_eq = PyObject_GetAttr(cm, s_adv_eq);
+        const_eq = PyObject_GetAttr(cm, s_const_eq);
+        if (!adv_eq || !const_eq) goto fallback;
+    }
+    if (!PyList_Check(advice)) goto fallback;
+
+    aq = PyMem_Malloc(sizeof(QC) * (size_t)n);
+    bq = PyMem_Malloc(sizeof(QC) * (size_t)n);
+    if (!aq || !bq) goto fallback;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        if (parse_qc(PyList_GET_ITEM(alist, i), &aq[i], &f, 1) < 0) goto fallback;
+        if (parse_qc(PyList_GET_ITEM(blist, i), &bq[i], &f, 1) < 0) goto fallback;
+    }
+
+    int b0_one = (bq[0].kind == K_CONSTANT && bq[0].fe[0] == 1 &&
+                  !(bq[0].fe[1] | bq[0].fe[2] | bq[0].fe[3]));
+    Py_ssize_t row0 = PyList_GET_SIZE(advice);
+
+    /* helper macro: append value object + optional copy bookkeeping */
+#define APPEND_CELL(qc_value, qc_kind, qc_cell)                                \
+    do {                                                                       \
+        if (PyList_Append(advice, (qc_value)) < 0) goto hard_error;            \
+        if (!wg_only) {                                                        \
+            if ((qc_kind) == K_EXISTING && (qc_cell)) {                        \
+                PyObject *me = make_cell(tid, cid, PyList_GET_SIZE(advice) - 1); \
+                if (!me) goto hard_error;                                      \
+                PyObject *pair = PyTuple_Pack(2, me, (qc_cell));               \
+                Py_DECREF(me);                                                 \
+                if (!pair) goto hard_error;                                    \
+                int rc = PyList_Append(adv_eq, pair);                          \
+                Py_DECREF(pair);                                               \
+                if (rc < 0) goto hard_error;                                   \
+            } else if ((qc_kind) == K_CONSTANT) {                              \
+                PyObject *me = make_cell(tid, cid, PyList_GET_SIZE(advice) - 1); \
+                if (!me) goto hard_error;                                      \
+                PyObject *pair = PyTuple_Pack(2, (qc_value), me);              \
+                Py_DECREF(me);                                                 \
+                if (!pair) goto hard_error;                                    \
+                int rc = PyList_Append(const_eq, pair);                        \
+                Py_DECREF(pair);                                               \
+                if (rc < 0) goto hard_error;                                   \
+            }                                                                  \
+        }                                                                      \
+    } while (0)
+
+    u64 s[4];
+    Py_ssize_t start;
+    if (b0_one) {
+        APPEND_CELL(aq[0].value, aq[0].kind, aq[0].cell);
+        memcpy(s, aq[0].fe, 32);
+        start = 1;
+    } else {
+        PyObject *zero = PyLong_FromLong(0);
+        if (!zero) goto hard_error;
+        APPEND_CELL(zero, K_CONSTANT, NULL);
+        Py_DECREF(zero);
+        memset(s, 0, 32);
+        start = 0;
+    }
+    for (Py_ssize_t i = start; i < n; i++) {
+        u64 prod[4];
+        mulmod(prod, aq[i].fe, bq[i].fe, &f);
+        addmod(s, s, prod, &f);
+        APPEND_CELL(aq[i].value, aq[i].kind, aq[i].cell);
+        APPEND_CELL(bq[i].value, bq[i].kind, bq[i].cell);
+        PyObject *sv = fe_to_long(s);
+        if (!sv) goto hard_error;
+        APPEND_CELL(sv, K_WITNESS, NULL);
+        Py_DECREF(sv);
+    }
+#undef APPEND_CELL
+
+    if (!wg_only) {
+        /* selector: pad False to advice length, True at row0 + 3*i */
+        Py_ssize_t alen = PyList_GET_SIZE(advice);
+        Py_ssize_t slen = PyList_GET_SIZE(selector);
+        for (Py_ssize_t r = slen; r < alen; r++) {
+            if (PyList_Append(selector, Py_False) < 0) goto hard_error;
+        }
+        Py_ssize_t ngates = (alen - row0) / 3;
+        for (Py_ssize_t g = 0; g < ngates; g++) {
+            Py_INCREF(Py_True);
+            if (PyList_SetItem(selector, row0 + 3 * g, Py_True) < 0) goto hard_error;
+        }
+    }
+    result = b0_one;
+    goto done;
+
+hard_error:
+    Py_XDECREF(advice); Py_XDECREF(selector); Py_XDECREF(cm);
+    Py_XDECREF(adv_eq); Py_XDECREF(const_eq); Py_XDECREF(tid); Py_XDECREF(cid);
+    PyMem_Free(aq); PyMem_Free(bq);
+    return NULL;
+
+fallback:
+    PyErr_Clear();
+done:
+    Py_XDECREF(advice); Py_XDECREF(selector); Py_XDECREF(cm);
+    Py_XDECREF(adv_eq); Py_XDECREF(const_eq); Py_XDECREF(tid); Py_XDECREF(cid);
+    PyMem_Free(aq); PyMem_Free(bq);
+    return PyLong_FromLong(result);
+}
+
+/* emit_region(ctx, cells, gate_offsets) -> n appended, or -1 = fall back.
+ *
+ * The generic Context.assign_region core (halo2-base lib.rs:310-335): append
+ * every QuantumCell value, record Existing/Constant copy tuples, pad the
+ * selector and enable the vertical gate at row0 + offset. No field
+ * arithmetic — values are appended as-is (Rationals included). */
+static PyObject *py_emit_region(PyObject *self, PyObject *args) {
+    PyObject *ctx, *cells, *offsets;
+    if (!PyArg_ParseTuple(args, "OOO", &ctx, &cells, &offsets))
+        return NULL;
+
+    long result = -1;
+    PyObject *advice = NULL, *selector = NULL, *cm = NULL, *adv_eq = NULL,
+             *const_eq = NULL, *tid = NULL, *cid = NULL;
+
+    if (!g_contextcell || !g_qcell || !g_assignedvalue) goto fallback;
+    if (!PyList_Check(cells) || !PyList_Check(offsets)) goto fallback;
+    Py_ssize_t n = PyList_GET_SIZE(cells);
+
+    advice = PyObject_GetAttr(ctx, s_advice);
+    PyObject *wg_o = PyObject_GetAttr(ctx, s_wg_only);
+    if (!advice || !wg_o || !PyList_Check(advice)) {
+        Py_XDECREF(wg_o);
+        goto fallback;
+    }
+    int wg_only = PyObject_IsTrue(wg_o);
+    Py_DECREF(wg_o);
+    if (!wg_only) {
+        selector = PyObject_GetAttr(ctx, s_selector);
+        cm = PyObject_GetAttr(ctx, s_copy_manager);
+        tid = PyObject_GetAttr(ctx, s_type_id);
+        cid = PyObject_GetAttr(ctx, s_context_id);
+        if (!selector || !cm || !tid || !cid || !PyList_Check(selector)) goto fallback;
+        adv_eq = PyObject_GetAttr(cm, s_adv_eq);
+        const_eq = PyObject_GetAttr(cm, s_const_eq);
+        if (!adv_eq || !const_eq) goto fallback;
+    }
+
+    Py_ssize_t row0 = PyList_GET_SIZE(advice);
+
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *q = PyList_GET_ITEM(cells, i);
+        long kind;
+        PyObject *value, *cellp = NULL; /* borrowed */
+        if (Py_TYPE(q) == (PyTypeObject *)g_qcell) {
+            PyObject *kind_o = PyObject_GetAttr(q, s_kind);
+            if (!kind_o) goto hard_error;
+            kind = PyLong_AsLong(kind_o);
+            Py_DECREF(kind_o);
+            PyObject *val = PyObject_GetAttr(q, s_val);
+            if (!val) goto hard_error;
+            Py_DECREF(val); /* borrowed via q */
+            if (kind == K_EXISTING) {
+                PyObject *v = PyObject_GetAttr(val, s_value);
+                if (!v) goto hard_error;
+                Py_DECREF(v);
+                PyObject *cell = PyObject_GetAttr(val, s_cell);
+                if (!cell) goto hard_error;
+                Py_DECREF(cell);
+                value = v;
+                cellp = (cell == Py_None) ? NULL : cell;
+            } else {
+                value = val;
+            }
+        } else if (Py_TYPE(q) == (PyTypeObject *)g_assignedvalue) {
+            kind = K_EXISTING;
+            PyObject *v = PyObject_GetAttr(q, s_value);
+            if (!v) goto hard_error;
+            Py_DECREF(v);
+            PyObject *cell = PyObject_GetAttr(q, s_cell);
+            if (!cell) goto hard_error;
+            Py_DECREF(cell);
+            value = v;
+            cellp = (cell == Py_None) ? NULL : cell;
+        } else {
+            /* unknown input type mid-region: bail out only if nothing was
+             * appended yet; otherwise raise (should not happen — as_qcell
+             * accepts exactly these two types) */
+            if (i == 0) goto fallback;
+            PyErr_SetString(PyExc_TypeError, "emit_region: unsupported cell type");
+            goto hard_error;
+        }
+
+        if (PyList_Append(advice, value) < 0) goto hard_error;
+        if (!wg_only) {
+            if (kind == K_EXISTING && cellp) {
+                PyObject *me = make_cell(tid, cid, PyList_GET_SIZE(advice) - 1);
+                if (!me) goto hard_error;
+                PyObject *pair = PyTuple_Pack(2, me, cellp);
+                Py_DECREF(me);
+                if (!pair) goto hard_error;
+                int rc = PyList_Append(adv_eq, pair);
+                Py_DECREF(pair);
+                if (rc < 0) goto hard_error;
+            } else if (kind == K_CONSTANT) {
+                PyObject *me = make_cell(tid, cid, PyList_GET_SIZE(advice) - 1);
+                if (!me) goto hard_error;
+                PyObject *pair = PyTuple_Pack(2, value, me);
+                Py_DECREF(me);
+                if (!pair) goto hard_error;
+                int rc = PyList_Append(const_eq, pair);
+                Py_DECREF(pair);
+                if (rc < 0) goto hard_error;
+            }
+        }
+    }
+
+    if (!wg_only) {
+        Py_ssize_t alen = PyList_GET_SIZE(advice);
+        for (Py_ssize_t r = PyList_GET_SIZE(selector); r < alen; r++) {
+            if (PyList_Append(selector, Py_False) < 0) goto hard_error;
+        }
+        Py_ssize_t noff = PyList_GET_SIZE(offsets);
+        for (Py_ssize_t g = 0; g < noff; g++) {
+            long off = PyLong_AsLong(PyList_GET_ITEM(offsets, g));
+            if (off == -1 && PyErr_Occurred()) goto hard_error;
+            Py_ssize_t idx = row0 + off;
+            if (idx < 0 || idx >= PyList_GET_SIZE(selector)) {
+                PyErr_SetString(PyExc_IndexError, "gate offset out of range");
+                goto hard_error;
+            }
+            Py_INCREF(Py_True);
+            if (PyList_SetItem(selector, idx, Py_True) < 0) goto hard_error;
+        }
+    }
+    result = (long)n;
+    goto done;
+
+hard_error:
+    Py_XDECREF(advice); Py_XDECREF(selector); Py_XDECREF(cm);
+    Py_XDECREF(adv_eq); Py_XDECREF(const_eq); Py_XDECREF(tid); Py_XDECREF(cid);
+    return NULL;
+
+fallback:
+    PyErr_Clear();
+done:
+    Py_XDECREF(advice); Py_XDECREF(selector); Py_XDECREF(cm);
+    Py_XDECREF(adv_eq); Py_XDECREF(const_eq); Py_XDECREF(tid); Py_XDECREF(cid);
+    return PyLong_FromLong(result);
+}
+
 static PyMethodDef Methods[] = {
     {"check_gates", py_check_gates, METH_VARARGS,
      "first failing gate row of one column, or -1"},
     {"modmul_vec", py_modmul_vec, METH_VARARGS, "elementwise a*b mod p"},
     {"modadd_vec", py_modadd_vec, METH_VARARGS, "elementwise a+b mod p"},
     {"modsub_vec", py_modsub_vec, METH_VARARGS, "elementwise a-b mod p"},
+    {"set_classes", py_set_classes, METH_VARARGS, "register ContextCell class"},
+    {"emit_inner_product", py_emit_inner_product, METH_VARARGS,
+     "native running-sum inner-product region emitter"},
+    {"emit_region", py_emit_region, METH_VARARGS,
+     "native generic assign_region emitter"},
     {NULL, NULL, 0, NULL},
 };
 
@@ -220,5 +619,17 @@ static struct PyModuleDef moduledef = {
 };
 
 PyMODINIT_FUNC PyInit_halo2_native(void) {
+    s_kind = PyUnicode_InternFromString("kind");
+    s_val = PyUnicode_InternFromString("val");
+    s_value = PyUnicode_InternFromString("value");
+    s_cell = PyUnicode_InternFromString("cell");
+    s_advice = PyUnicode_InternFromString("advice");
+    s_selector = PyUnicode_InternFromString("selector");
+    s_copy_manager = PyUnicode_InternFromString("copy_manager");
+    s_adv_eq = PyUnicode_InternFromString("advice_equalities");
+    s_const_eq = PyUnicode_InternFromString("constant_equalities");
+    s_type_id = PyUnicode_InternFromString("type_id");
+    s_context_id = PyUnicode_InternFromString("context_id");
+    s_wg_only = PyUnicode_InternFromString("witness_gen_only");
     return PyModule_Create(&moduledef);
 }

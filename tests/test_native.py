@@ -63,3 +63,92 @@ def test_mock_prover_uses_native():
 
     assert not MockProver.run(8, build(False)).verify()
     assert MockProver.run(8, build(True)).verify()
+
+
+# ---- witness-engine emitters (emit_region / emit_inner_product) ----------
+
+
+def _build_mixed_trace(native: bool, wg: bool):
+    """A trace exercising every QCell kind, b0==1 and general inner products,
+    negative gate offsets (assign_region_smart), and fractions."""
+    import halo2_lib_tpu.core.context as cctx
+    import halo2_lib_tpu.native as natmod
+    from halo2_lib_tpu.core.cells import (
+        Constant,
+        Existing,
+        Witness,
+        WitnessFraction,
+    )
+    from halo2_lib_tpu.gates.circuit import (
+        BaseCircuitBuilder,
+        BaseCircuitParams,
+        CircuitBuilderStage,
+    )
+    from halo2_lib_tpu.gates.flex_gate import GateChip
+
+    # force native on/off for this build
+    saved = (natmod._REGION_MOD, cctx._REGION, dict(natmod._EMITTERS))
+    natmod._REGION_MOD = False if native else None
+    cctx._REGION = False if native else None
+    if not native:
+        natmod._EMITTERS.clear()
+        natmod._EMITTERS[P] = None
+    try:
+        if wg:
+            params = BaseCircuitParams(
+                k=9,
+                num_advice_per_phase=[1],
+                num_fixed=1,
+                num_lookup_advice_per_phase=[0],
+                lookup_bits=None,
+                num_instance_columns=0,
+            )
+            b = BaseCircuitBuilder.prover(params, [[]])
+        else:
+            b = BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(9)
+        g = GateChip(FR_BN254)
+        if not native:
+            g._nat = None
+        ctx = b.main(0)
+        rng = random.Random(99)
+        w = [ctx.load_witness(rng.randrange(P)) for _ in range(6)]
+        g.inner_product(
+            ctx,
+            [Existing(w[0]), Witness(123), Constant(5), Existing(w[1])],
+            [Constant(1), Existing(w[2]), Witness(77), Constant(9)],
+        )
+        g.inner_product(
+            ctx,
+            [Witness(rng.randrange(P)) for _ in range(5)],
+            [Existing(w[3])] + [Constant(rng.randrange(P)) for _ in range(4)],
+        )
+        g.mul(ctx, w[4], w[5])
+        # fractions flow through untouched
+        ctx.assign_region([WitnessFraction(3, 7), Constant(0), Constant(0), Witness(0)], [])
+        # negative gate offsets via assign_region_smart
+        ctx.assign_region_smart(
+            [Witness(1), Witness(2)], [-2], [(0, -3)], [(w[0].cell, -1)] if not wg else []
+        )
+        return b, ctx
+    finally:
+        natmod._REGION_MOD, cctx._REGION = saved[0], saved[1]
+        natmod._EMITTERS.clear()
+        natmod._EMITTERS.update(saved[2])
+
+
+@pytest.mark.parametrize("wg", [False, True])
+def test_emitters_match_pure_python(wg):
+    if get_native() is None:
+        pytest.skip("native module unavailable")
+    bn, cn = _build_mixed_trace(True, wg)
+    bp, cp = _build_mixed_trace(False, wg)
+    assert cn.advice == cp.advice
+    assert cn.selector == cp.selector
+    if not wg:
+        cmn, cmp_ = bn.core.copy_manager, bp.core.copy_manager
+        assert cmn.advice_equalities == cmp_.advice_equalities
+        assert cmn.constant_equalities == cmp_.constant_equalities
+        from halo2_lib_tpu.core.cells import ContextCell
+
+        for l, r in cmn.advice_equalities:
+            assert type(l) is ContextCell and type(r) is ContextCell
