@@ -343,7 +343,7 @@ class BaseCircuitBuilder:
         # --- constants to fixed columns + copy constraints (copy_constraints.rs:129-173)
         fixed_cols: list[list[int]] = [[] for _ in range(params.num_fixed)]
         if not wg_only:
-            cm.constant_equalities.sort(key=lambda t: (t[0], t[1]))
+            cm.constant_equalities.sort()  # (constant, cell) tuples sort natively
             fixed_positions: dict[int, tuple[int, int]] = {}
             fc, fo = 0, 0
             nfixed = params.num_fixed
@@ -361,12 +361,15 @@ class BaseCircuitBuilder:
             cm.assigned_constants = fixed_positions
 
             cm.advice_equalities.sort()
-            for left, right in cm.advice_equalities:
-                lp, lc, lr = cm.assigned_advices[left]
-                rp, rc, rr = cm.assigned_advices[right]
-                copies.append(
-                    (("advice", lp, lc, lr), ("advice", rp, rc, rr))
+            if hasattr(cm.assigned_advices, "translate_pairs"):
+                cm.assigned_advices.translate_pairs(
+                    cm.advice_equalities, "advice", "advice", copies
                 )
+            else:  # plain-dict map (no phase was flattened arithmetically)
+                for left, right in cm.advice_equalities:
+                    lp, lc, lr = cm.assigned_advices[left]
+                    rp, rc, rr = cm.assigned_advices[right]
+                    copies.append((("advice", lp, lc, lr), ("advice", rp, rc, rr)))
             for c, cell in cm.constant_equalities:
                 f = fixed_positions[c]
                 ap, ac, ar = cm.assigned_advices[cell]
