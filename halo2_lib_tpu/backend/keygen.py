@@ -382,7 +382,7 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     import jax.numpy as jnp
 
     from ..ops.ec_device import DeviceCurve  # noqa: F401 (device path)
-    from .prover import _affine_canonical, _host_points, _u16_cols
+    from .prover import _host_points, _u16_cols
 
     all_cols = list(selectors) + list(fixed_cols)
     if table_col is not None:
@@ -398,17 +398,17 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     _kstage("sigma device build")
 
     @jax.jit
-    def _commit_all(cols_u16, sigma_mont, bases):
+    def _all_lag(cols_u16, sigma_mont):
         lag = df._to_mont(cols_u16.astype(jnp.uint32))
-        allc = jnp.concatenate([lag, sigma_mont], axis=0)
-        com = params.commit_many_inside(df, allc, True, bases=bases)
-        return _affine_canonical(dc, com)
+        return jnp.concatenate([lag, sigma_mont], axis=0)
 
     cols_u16 = jnp.asarray(_u16_cols(all_cols, n))
     _kstage("u16 packing")
     bases = params.affine_lagrange_bases()
     _kstage("lagrange base packing")
-    pts = _host_points(dc, _commit_all(cols_u16, sigma_mont, bases))
+    # commit via the shared chunked MSM jit (compiled once, reused by the
+    # prover stages — see ParamsKZG.commit_columns)
+    pts = _host_points(dc, params.commit_columns(df, _all_lag(cols_u16, sigma_mont), bases))
     _kstage("commit dispatch")
     nsigma = len(perm_cols)
     o = 0

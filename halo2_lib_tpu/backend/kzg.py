@@ -32,6 +32,9 @@ from ..ops.limbs import N_LIMBS, DeviceField
 from ..utils.curves import BN254_G1, BN254_G2
 from ..utils.fields import FR_BN254
 
+# Column-chunk width for the shared commit jit (see ParamsKZG.commit_columns).
+COMMIT_CHUNK = 8
+
 _SRS_MAGIC_V1 = b"H2TPUSRS"
 _SRS_MAGIC_V2 = b"H2TPUSR2"  # v2: adds the Lagrange basis
 _SRS_MAGIC = b"H2TPUSR3"  # v3: tau drawn from ChaCha20Rng(seed 0), like the reference
@@ -86,6 +89,7 @@ class ParamsKZG:
         self._packed = None
         self._packed_affine = None
         self._lag_affine = None
+        self._commit_jits: dict = {}
 
     # --- setup ----------------------------------------------------------------
     @staticmethod
@@ -178,6 +182,57 @@ class ParamsKZG:
         if self._lag_affine is None:
             self._lag_affine = self.device_curve().pack_points_affine(self.g_lagrange)
         return self._lag_affine
+
+    def commit_columns(self, fr_df, vals_mont, bases, window_bits: int = 8):
+        """[C, m, 16] Montgomery columns -> canonical affine (x, y, inf) over C.
+
+        ONE compiled graph per (m, window_bits): C is padded to a multiple of
+        COMMIT_CHUNK and fed through lax.map, so every prover stage, keygen,
+        and both bases (Lagrange / monomial, passed as runtime args) share the
+        same compiled Pippenger MSM. Inlining a column-count-specialized MSM
+        copy into each stage jit was the bulk of the cold-compile bill and
+        produced modules too large for remote compile services.
+        """
+        dc = self.device_curve()
+        df = dc.df
+        C, m, _ = vals_mont.shape
+        if C == 0:
+            z16 = jnp.zeros((0, 16), jnp.uint32)
+            return z16, z16, jnp.zeros((0,), bool)
+        # bucket = pow2 chunk width: a [1]-column commit must not pay an
+        # 8-wide MSM; at most log2(COMMIT_CHUNK)+1 compiled variants exist
+        bucket = COMMIT_CHUNK if C >= COMMIT_CHUNK else 1 << (C - 1).bit_length()
+        key = (m, window_bits, bucket)
+        fn = self._commit_jits.get(key)
+        if fn is None:
+            n_srs = self.n
+
+            def _run(vals, Ax, Ay):
+                def body(chunk):
+                    digits = window_digits(fr_df, chunk, window_bits)
+                    if m < n_srs:
+                        digits = jnp.pad(digits, ((0, 0), (0, 0), (0, n_srs - m)))
+                    X, Y, Z = msm_many_device(dc, (Ax, Ay), digits, window_bits, True)
+                    inf = df.is_zero(Z)
+                    zinv = df._batch_inv(Z)
+                    zi2 = df._mont_mul(zinv, zinv)
+                    ax = df._mont_mul(X, zi2)
+                    ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
+                    return df._from_mont(ax), df._from_mont(ay), inf
+
+                return jax.lax.map(body, vals)
+
+            fn = jax.jit(_run)
+            self._commit_jits[key] = fn
+        pad = (-C) % bucket
+        if pad:
+            vals_mont = jnp.pad(vals_mont, ((0, pad), (0, 0), (0, 0)))
+        ax, ay, inf = fn(vals_mont.reshape(-1, bucket, m, 16), bases[0], bases[1])
+        return (
+            ax.reshape(-1, 16)[:C],
+            ay.reshape(-1, 16)[:C],
+            inf.reshape(-1)[:C],
+        )
 
     def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = 8, bases=None):
         """Traceable batched commitment: [C, m, 16] Montgomery column values

@@ -472,12 +472,8 @@ def create_proof(
         cols = adv_t + lk_t + (instance_vals if t == 0 else [])
         cols_u16 = _shard(jnp.asarray(_u16_cols(cols, n)))
 
-        def s1(T, cols_u16, _nc=ncommit):
-            lag = df._to_mont(cols_u16.astype(jnp.uint32))
-            com = params.commit_many_inside(df, lag[:_nc], True, bases=T["lagA"])
-            return lag, _affine_canonical(dc, com)
-
-        lag_t, com1 = rt.jit(f"s1p{t}", s1)(T, cols_u16)
+        lag_t = rt.jit("to_mont", lambda c: df._to_mont(c.astype(jnp.uint32)))(cols_u16)
+        com1 = params.commit_columns(df, lag_t[:ncommit], T["lagA"])
         for pt in _host_points(dc, com1):
             tr.write_point(pt)
         if t == 0:
@@ -516,12 +512,8 @@ def create_proof(
     if nd:
         dyn_u16 = _shard(jnp.asarray(_u16_cols(dyn_vals, n)))
 
-        def s1d(T, cols_u16):
-            lag = df._to_mont(cols_u16.astype(jnp.uint32))
-            com = params.commit_many_inside(df, lag, True, bases=T["lagA"])
-            return lag, _affine_canonical(dc, com)
-
-        dyn_lag, comd = rt.jit("s1d", s1d)(T, dyn_u16)
+        dyn_lag = rt.jit("to_mont", lambda c: df._to_mont(c.astype(jnp.uint32)))(dyn_u16)
+        comd = params.commit_columns(df, dyn_lag, T["lagA"])
         for pt in _host_points(dc, comd):
             tr.write_point(pt)
     else:
@@ -556,14 +548,8 @@ def create_proof(
         permuted_host.extend([a_p, s_p])
     perm_u16 = _shard(jnp.asarray(_u16_cols(permuted_host, n)))
 
-    def s2(T, cols_u16):
-        lag = df._to_mont(cols_u16.astype(jnp.uint32))
-        if lag.shape[0] == 0:
-            return lag, (jnp.zeros((0, N_LIMBS), jnp.uint32),) * 2 + (jnp.zeros((0,), bool),)
-        com = params.commit_many_inside(df, lag, True, bases=T["lagA"])
-        return lag, _affine_canonical(dc, com)
-
-    permuted_lag, com2 = rt.jit("s2", s2)(T, perm_u16)
+    permuted_lag = rt.jit("to_mont", lambda c: df._to_mont(c.astype(jnp.uint32)))(perm_u16)
+    com2 = params.commit_columns(df, permuted_lag, T["lagA"])
     for pt in _host_points(dc, com2):
         tr.write_point(pt)
     _t = _stage("lookup permuted", _t)
@@ -681,13 +667,12 @@ def create_proof(
             zl, _ = _grand_products(ratio)
             zl = zl.at[:, u + 1 :].set(zb[nchunks:])
             zcols.append(zl)
-        allz = jnp.concatenate(zcols + [rand_lag], axis=0) if zcols else rand_lag
-        com = params.commit_many_inside(df, allz, True, bases=T["lagA"])
-        return allz, _affine_canonical(dc, com)
+        return jnp.concatenate(zcols + [rand_lag], axis=0) if zcols else rand_lag
 
-    allz_lag, com3 = rt.jit("s3", s3)(
+    allz_lag = rt.jit("s3", s3)(
         T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, scal3, zb_u16, rand_u16
     )
+    com3 = params.commit_columns(df, allz_lag, T["lagA"])
     for pt in _host_points(dc, com3):
         tr.write_point(pt)
     permz_lag = allz_lag[:nchunks]
@@ -830,16 +815,12 @@ def create_proof(
         pieces = h_coeffs[: 3 * n].reshape(3, n, N_LIMBS)
         return pieces, top_zero
 
-    def s4c(T, pieces):
-        com = params.commit_many_inside(df, pieces, False, bases=T["monoA"])
-        return _affine_canonical(dc, com)
-
     ych = dom.pack([y])[0]
     runtime_coeffs, runtime_ext = rt.jit("s4a", s4a)(
         adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag
     )
     h_pieces, top_zero = rt.jit("s4b", s4b)(T, runtime_ext, scal3, ych, chal_dev)
-    com4 = rt.jit("s4c", s4c)(T, h_pieces)
+    com4 = params.commit_columns(df, h_pieces, T["monoA"])
     for pt in _host_points(dc, com4):
         tr.write_point(pt)
     _t = _stage("quotient", _t)
@@ -983,13 +964,13 @@ def create_proof(
         terms = df._mont_mul(df._mont_mul(num, inv_zs), w_dev[:, None])
         h_open = _tree_sum(df, terms)
         h_open_coeffs = dom.ntt.inverse(h_open)
-        com = params.commit_many_inside(df, h_open_coeffs[None], False, bases=T["monoA"])
-        return gstack, h_open, _affine_canonical(dc, com)
+        return gstack, h_open, h_open_coeffs
 
-    gstack, h_open_lag, com6 = rt.jit("s6", s6)(
+    gstack, h_open_lag, h_open_coeffs = rt.jit("s6", s6)(
         T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag, h_pieces,
         h_scal, vpow_dev, r_dev, s_dev, w_dev,
     )
+    com6 = params.commit_columns(df, h_open_coeffs[None], T["monoA"])
     tr.write_point(_host_points(dc, com6)[0])
 
     u_ch = tr.squeeze_challenge()
@@ -1022,11 +1003,10 @@ def create_proof(
         L_acc = df._sub(L_acc, df._mont_mul(h_open_lag, ztu_dev[0]))
         inv_xu = df._batch_inv(df._sub(W, jnp.broadcast_to(uch_dev[0], (n, N_LIMBS))))
         q_evals = df._mont_mul(L_acc, inv_xu)
-        q_coeffs = dom.ntt.inverse(q_evals)
-        com = params.commit_many_inside(df, q_coeffs[None], False, bases=T["monoA"])
-        return _affine_canonical(dc, com)
+        return dom.ntt.inverse(q_evals)
 
-    com7 = rt.jit("s7", s7)(T, gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev)
+    q_coeffs = rt.jit("s7", s7)(T, gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev)
+    com7 = params.commit_columns(df, q_coeffs[None], T["monoA"])
     tr.write_point(_host_points(dc, com7)[0])
     _t = _stage("shplonk", _t)
     return tr.finalize()

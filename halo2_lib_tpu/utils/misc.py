@@ -24,7 +24,11 @@ def decompose_int(e: int, number_of_limbs: int, bit_len: int) -> list[int]:
     reference (utils/mod.rs): limb i = (e >> (i*bit_len)) & (2^bit_len - 1).
     """
     mask = (1 << bit_len) - 1
-    return [(e >> (i * bit_len)) & mask for i in range(number_of_limbs)]
+    out = []
+    for _ in range(number_of_limbs):
+        out.append(e & mask)
+        e >>= bit_len  # progressive shift: each step shrinks the bignum
+    return out
 
 
 def decompose_fe(value: int, number_of_limbs: int, bit_len: int) -> list[int]:
