@@ -156,8 +156,8 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     n = 1 << log_n
     dc = DeviceCurve(DeviceField(BN254_G1.base), BN254_G1)
     base_pts = [BN254_G1.random_point(rng) for _ in range(256)]
-    P0 = dc.pack_points(base_pts)
-    P = tuple(jnp.tile(t, (n // 256, 1)) for t in P0)
+    P0 = dc.pack_points(base_pts)  # [16, 256] coords
+    P = tuple(jnp.tile(t, (1, n // 256)) for t in P0)
     key = jax.random.PRNGKey(7)
     digit_sets = [
         jax.random.randint(jax.random.fold_in(key, i), (32, n), 0, 256, dtype=jnp.int32)
@@ -192,9 +192,9 @@ def bench_ntt(log_n: int = 22, iters: int = 5) -> dict:
     xs = []
     for i in range(2):
         limbs = jax.random.randint(
-            jax.random.fold_in(key, i), (n, N_LIMBS), 0, 1 << 16, dtype=jnp.int32
+            jax.random.fold_in(key, i), (N_LIMBS, n), 0, 1 << 16, dtype=jnp.int32
         ).astype(jnp.uint32)
-        xs.append(limbs.at[:, N_LIMBS - 1].set(0))
+        xs.append(limbs.at[N_LIMBS - 1].set(0))
     _sync(ntt.forward(xs[0]))  # compile
     t0 = time.time()
     for i in range(iters):

@@ -144,7 +144,7 @@ class ProvingKey:
     fixed_cols: list[list[int]]
     table_col: list[int] | None
     q_lookup_col: list[int] | None
-    perm_values: object  # sigma columns, uint32[ncols, n, 16] device Montgomery tensor
+    perm_values: object  # sigma columns, uint32[ncols, 16, n] device Montgomery tensor
     break_points: list[list[int]]
     config_params: object
     chal_q_cols: list[list[int]] = dc_field(default_factory=list)
@@ -275,18 +275,21 @@ def _build_permutation(circuit: PhysicalCircuit, n: int, cols: list[ColumnRef]):
 
 
 def sigma_mont_device(df, dom, nc, nr):
-    """[ncols, n, 16] Montgomery sigma values delta^nc * omega^nr on device."""
+    """[ncols, 16, n] Montgomery sigma values delta^nc * omega^nr on device."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.ntt import _pows_device
 
-    delta_pows = _pows_device(df, DELTA, max(nc.shape[0], 1))
-    omega_pows = dom.omega_pows_dev()
+    delta_pows = _pows_device(df, DELTA, max(nc.shape[0], 1))  # [16, ncols]
+    omega_pows = dom.omega_pows_dev()  # [16, n]
 
     @jax.jit
     def gather_mul(ncd, nrd, dp, op):
-        return df._mont_mul(dp[ncd], op[nrd])
+        # lane-gathers produce [16, ncols, n]; restore the limb axis to -2
+        d = jnp.transpose(dp[:, ncd], (1, 0, 2))
+        o = jnp.transpose(op[:, nrd], (1, 0, 2))
+        return df._mont_mul(d, o)
 
     return gather_mul(jnp.asarray(nc), jnp.asarray(nr), delta_pows, omega_pows)
 
@@ -399,7 +402,8 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
 
     @jax.jit
     def _all_lag(cols_u16, sigma_mont):
-        lag = df._to_mont(cols_u16.astype(jnp.uint32))
+        # upload stays [C, n, 16] u16 (host-cheap); limb-major on device
+        lag = df._to_mont(cols_u16.astype(jnp.uint32).transpose(0, 2, 1))
         return jnp.concatenate([lag, sigma_mont], axis=0)
 
     cols_u16 = jnp.asarray(_u16_cols(all_cols, n))

@@ -184,21 +184,23 @@ class ParamsKZG:
         return self._lag_affine
 
     def commit_columns(self, fr_df, vals_mont, bases, window_bits: int = 8):
-        """[C, m, 16] Montgomery columns -> canonical affine (x, y, inf) over C.
+        """[C, 16, m] Montgomery columns -> packed uint32[C, 33] canonical
+        affine commitments (x limbs | y limbs | inf flag) over C.
 
         ONE compiled graph per (m, window_bits): C is padded to a multiple of
         COMMIT_CHUNK and fed through lax.map, so every prover stage, keygen,
         and both bases (Lagrange / monomial, passed as runtime args) share the
         same compiled Pippenger MSM. Inlining a column-count-specialized MSM
         copy into each stage jit was the bulk of the cold-compile bill and
-        produced modules too large for remote compile services.
+        produced modules too large for remote compile services. The packed
+        single-array result keeps the host fetch to ONE transfer (each
+        device->host round trip costs ~30 ms on tunneled backends).
         """
         dc = self.device_curve()
         df = dc.df
-        C, m, _ = vals_mont.shape
+        C, _, m = vals_mont.shape
         if C == 0:
-            z16 = jnp.zeros((0, 16), jnp.uint32)
-            return z16, z16, jnp.zeros((0,), bool)
+            return jnp.zeros((0, 33), jnp.uint32)
         # bucket = pow2 chunk width: a [1]-column commit must not pay an
         # 8-wide MSM; at most log2(COMMIT_CHUNK)+1 compiled variants exist
         bucket = COMMIT_CHUNK if C >= COMMIT_CHUNK else 1 << (C - 1).bit_length()
@@ -213,37 +215,42 @@ class ParamsKZG:
                     if m < n_srs:
                         digits = jnp.pad(digits, ((0, 0), (0, 0), (0, n_srs - m)))
                     X, Y, Z = msm_many_device(dc, (Ax, Ay), digits, window_bits, True)
-                    inf = df.is_zero(Z)
+                    inf = df.is_zero(Z)  # [bucket]
                     zinv = df._batch_inv(Z)
                     zi2 = df._mont_mul(zinv, zinv)
                     ax = df._mont_mul(X, zi2)
                     ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
-                    return df._from_mont(ax), df._from_mont(ay), inf
+                    # [33, bucket]: x rows | y rows | inf row
+                    return jnp.concatenate(
+                        [
+                            df._from_mont(ax),
+                            df._from_mont(ay),
+                            inf.astype(jnp.uint32)[None, :],
+                        ],
+                        axis=0,
+                    )
 
-                return jax.lax.map(body, vals)
+                out = jax.lax.map(body, vals)  # [chunks, 33, bucket]
+                return out.transpose(0, 2, 1)  # [chunks, bucket, 33]
 
             fn = jax.jit(_run)
             self._commit_jits[key] = fn
         pad = (-C) % bucket
         if pad:
             vals_mont = jnp.pad(vals_mont, ((0, pad), (0, 0), (0, 0)))
-        ax, ay, inf = fn(vals_mont.reshape(-1, bucket, m, 16), bases[0], bases[1])
-        return (
-            ax.reshape(-1, 16)[:C],
-            ay.reshape(-1, 16)[:C],
-            inf.reshape(-1)[:C],
-        )
+        packed = fn(vals_mont.reshape(-1, bucket, N_LIMBS, m), bases[0], bases[1])
+        return packed.reshape(-1, 33)[:C]
 
     def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = 8, bases=None):
-        """Traceable batched commitment: [C, m, 16] Montgomery column values
+        """Traceable batched commitment: [C, 16, m] Montgomery column values
         (evaluation form if `lagrange`, else coefficients) -> [C] Jacobian
-        points. Safe to call inside a larger jit (no host sync).
-        Uses the no-doubling mixed add (SRS bases are distinct).
+        points ([16, C] coords). Safe to call inside a larger jit (no host
+        sync). Uses the no-doubling mixed add (SRS bases are distinct).
 
         Pass `bases` explicitly when calling from inside another jit —
         fetching them here would bake them into the caller's executable as
         compile-time constants."""
-        C, m, _ = vals_mont.shape
+        C, _, m = vals_mont.shape
         digits = window_digits(fr_df, vals_mont, window_bits)  # [C, W, m]
         if m < self.n:
             digits = jnp.pad(digits, ((0, 0), (0, 0), (0, self.n - m)))
@@ -275,17 +282,17 @@ class ParamsKZG:
         return dc.unpack_points(out)[0]
 
     def commit_dev(self, coeffs_dev, fr_df, window_bits: int = 8):
-        """Commit from a device Montgomery-limb coeff tensor [m, 16], m <= n."""
+        """Commit from a device Montgomery coeff tensor [16, m], m <= n."""
         out = self.commit_many_inside(fr_df, coeffs_dev[None], False, window_bits)
         dc = self.device_curve()
-        return dc.unpack_points((out[0][0], out[1][0], out[2][0]))[0]
+        return dc.unpack_points(out)[0]
 
     def commit_many(self, polys: list[list[int]], window_bits: int = 8) -> list:
         return [self.commit(p, window_bits) for p in polys]
 
 
 def window_digits(fr_df: DeviceField, vals_mont, window_bits: int = 8):
-    """[..., m, 16] Montgomery scalars -> int32[..., W, m] window digits.
+    """[..., 16, m] Montgomery scalars -> int32[..., W, m] window digits.
 
     Pure device math (traceable): one from_mont plus shift/mask per window.
     `window_bits` must divide the 16-bit limb width.
@@ -294,10 +301,10 @@ def window_digits(fr_df: DeviceField, vals_mont, window_bits: int = 8):
     per_limb = 16 // window_bits
     mask = (1 << window_bits) - 1
     num_windows = -(-254 // window_bits)
-    canon = fr_df._from_mont(vals_mont)  # [..., m, 16]
+    canon = fr_df._from_mont(vals_mont)  # [..., 16, m]
     outs = []
     for w in range(num_windows):
-        limb = canon[..., w // per_limb]
+        limb = canon[..., w // per_limb, :]
         shift = (w % per_limb) * window_bits
         outs.append(((limb >> shift) & mask).astype(jnp.int32))
     return jnp.stack(outs, axis=-2)  # [..., W, m]

@@ -47,15 +47,15 @@ class DeviceMockProver:
             for i, (vals, sels) in enumerate(zip(phase.columns, phase.selectors)):
                 A[i] = _pack_col(df, vals, n)
                 Q[i, : len(sels)] = sels
-            A = jnp.asarray(A)
+            A = jnp.asarray(np.ascontiguousarray(A.transpose(0, 2, 1)))  # [C,16,n]
             Q = jnp.asarray(Q)
 
             @jax.jit
             def gate_failures(A, Q):
                 a = A
-                b = jnp.roll(A, -1, axis=1)
-                cc = jnp.roll(A, -2, axis=1)
-                d = jnp.roll(A, -3, axis=1)
+                b = jnp.roll(A, -1, axis=-1)
+                cc = jnp.roll(A, -2, axis=-1)
+                d = jnp.roll(A, -3, axis=-1)
                 lhs = df._add(a, df._mont_mul(b, cc))
                 diff = df._sub(lhs, d)
                 bad = Q & ~df.is_zero(diff)
@@ -112,7 +112,7 @@ class DeviceMockProver:
             V = jnp.asarray(ints_to_limbs([v % df.p_int for v in flat_vals]))
             L = jnp.asarray(np.asarray(left_idx, dtype=np.int32))
             R = jnp.asarray(np.asarray(right_idx, dtype=np.int32))
-            neq = ~jnp.all(V[L] == V[R], axis=-1)
+            neq = ~jnp.all(V[L] == V[R], axis=-1)  # host rows [m, 16]: limbs minor
             n_bad = int(jnp.sum(neq))
             if n_bad:
                 errors.append(f"{n_bad} copy constraint failures")

@@ -3,7 +3,8 @@
 The role of halo2's `EvaluationDomain`: coefficient <-> Lagrange conversions,
 extended-coset evaluation for the quotient polynomial, vanishing-poly division
 and Lagrange-basis helpers. Vector math runs on device (JAX uint32-limb
-Montgomery, see ops/limbs.py + ops/ntt.py); scalar helpers are exact host ints.
+Montgomery, limb-major [..., 16, B] — see ops/limbs.py + ops/ntt.py); scalar
+helpers are exact host ints.
 """
 
 from __future__ import annotations
@@ -15,8 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.limbs import DeviceField, ints_to_limbs, limbs_to_ints, N_LIMBS
-from ..ops.ntt import NTT, CosetNTT
+from ..ops.limbs import DeviceField, ints_to_limbs_T, limbs_to_ints, N_LIMBS
+from ..ops.ntt import NTT, CosetNTT, new_ntt
 from ..utils.fields import FR_BN254
 
 # coset shift for the extended domain (any non-subgroup element; halo2 uses
@@ -41,7 +42,7 @@ class Domain:
         self.n = 1 << k
         self.F = FR_BN254
         self.df = DeviceField(FR_BN254)
-        self.ntt = NTT(self.df, k)
+        self.ntt = new_ntt(self.df, k)
         self.k_ext = k + (EXT_FACTOR.bit_length() - 1)
         self.n_ext = 1 << self.k_ext
         self.coset_ntt = CosetNTT(self.df, self.k_ext, COSET_SHIFT)
@@ -63,16 +64,17 @@ class Domain:
 
     # --- packing -------------------------------------------------------------
     def pack(self, values: list[int]) -> jax.Array:
-        """ints -> Montgomery limb tensor [len, 16]."""
+        """ints -> Montgomery limb-major tensor [16, len]."""
         p = self.F.p
         mont = [(int(v) << 256) % p for v in values]
-        return jnp.asarray(ints_to_limbs(mont))
+        return jnp.asarray(ints_to_limbs_T(mont))
 
     def unpack(self, arr) -> list[int]:
         p = self.F.p
         rinv = pow(1 << 256, -1, p)
         a = np.asarray(jax.device_get(arr))
-        return [(v * rinv) % p for v in limbs_to_ints(a.reshape(-1, N_LIMBS))]
+        a = np.moveaxis(a.reshape(-1, N_LIMBS, a.shape[-1]), 1, 2).reshape(-1, N_LIMBS)
+        return [(v * rinv) % p for v in limbs_to_ints(a)]
 
     # --- conversions -----------------------------------------------------------
     def lagrange_to_coeff(self, evals: jax.Array) -> jax.Array:
@@ -84,7 +86,9 @@ class Domain:
 
     def coeff_to_extended(self, coeffs: jax.Array) -> jax.Array:
         """coeffs (len n) -> evals on the 4n coset g*H_ext."""
-        padded = jnp.zeros((self.n_ext, N_LIMBS), dtype=jnp.uint32).at[: coeffs.shape[0]].set(coeffs)
+        padded = jnp.zeros((N_LIMBS, self.n_ext), dtype=jnp.uint32).at[
+            :, : coeffs.shape[-1]
+        ].set(coeffs)
         return self.coset_ntt.forward(padded)
 
     def extended_to_coeff(self, evals: jax.Array) -> jax.Array:
@@ -106,30 +110,29 @@ class Domain:
 
     def rotate_ext(self, ext_evals: jax.Array, rotation: int) -> jax.Array:
         """Rotation by w^rotation on the n-domain = roll by EXT_FACTOR * rotation."""
-        return jnp.roll(ext_evals, -EXT_FACTOR * rotation, axis=0)
+        return jnp.roll(ext_evals, -EXT_FACTOR * rotation, axis=-1)
 
     def const_ext(self, c: int) -> jax.Array:
         """Constant c broadcast over the extended domain."""
-        one = self.pack([c])[0]
-        return jnp.broadcast_to(one, (self.n_ext, N_LIMBS))
+        return jnp.broadcast_to(self.pack([c]), (N_LIMBS, self.n_ext))
 
     def const_h(self, c: int) -> jax.Array:
         """Constant c broadcast over the base domain H."""
-        one = self.pack([c])[0]
-        return jnp.broadcast_to(one, (self.n, N_LIMBS))
+        return jnp.broadcast_to(self.pack([c]), (N_LIMBS, self.n))
 
     # --- jitted scan helpers (eager associative_scan dispatches every level's
     # primitives one by one — catastrophic on remote backends) ----------------
     def prefix_prod(self, x: jax.Array) -> jax.Array:
-        """Inclusive Montgomery prefix product along axis 0 (jitted)."""
+        """Inclusive Montgomery prefix product along the lane axis (jitted)."""
         if not hasattr(self, "_prefix_prod_jit"):
             self._prefix_prod_jit = jax.jit(
-                lambda v: jax.lax.associative_scan(self.df._mont_mul, v)
+                lambda v: jax.lax.associative_scan(self.df._mont_mul, v, axis=v.ndim - 1)
             )
         return self._prefix_prod_jit(x)
 
     def pows_of(self, x_mont: jax.Array, m: int) -> jax.Array:
-        """[m, 16] powers 1, x, ..., x^{m-1} from a Montgomery scalar (jitted)."""
+        """[16, m] powers 1, x, ..., x^{m-1} from a Montgomery scalar [16, 1]
+        (jitted log-depth scan)."""
         if not hasattr(self, "_pows_jit"):
             one_np = self.df.ONE_MONT  # numpy: convert INSIDE the traced body.
             # (jnp.asarray here would produce a tracer when pows_of is first
@@ -137,17 +140,17 @@ class Domain:
             # closure leaks it into every later call.)
 
             def _pows(xm, m):
-                one = jnp.asarray(one_np)
-                base = jnp.broadcast_to(xm, (m, 16))
-                stacked = jnp.concatenate([one[None], base[:-1]], axis=0)
-                return jax.lax.associative_scan(self.df._mont_mul, stacked)
+                one = jnp.asarray(one_np)[:, None]
+                base = jnp.broadcast_to(xm.reshape(N_LIMBS, 1), (N_LIMBS, m))
+                stacked = jnp.concatenate([one, base[:, :-1]], axis=1)
+                return jax.lax.associative_scan(self.df._mont_mul, stacked, axis=1)
 
             self._pows_jit = jax.jit(_pows, static_argnums=1)
         return self._pows_jit(x_mont, m)
 
     # --- device scalar-power helpers ------------------------------------------------
     def omega_pows_dev(self) -> jax.Array:
-        """[n, 16] Montgomery values of the domain points w^i (cached;
+        """[16, n] Montgomery values of the domain points w^i (cached;
         computed on device by a log-depth power scan, no O(n) host loop)."""
         if not hasattr(self, "_omega_pows_dev"):
             from ..ops.ntt import _pows_device
@@ -156,24 +159,24 @@ class Domain:
         return self._omega_pows_dev
 
     def pows_dev(self, x: int, m: int) -> jax.Array:
-        """[m, 16] powers 1, x, ..., x^{m-1} via a jitted log-depth scan."""
-        return self.pows_of(self.pack([x])[0], m)
+        """[16, m] powers 1, x, ..., x^{m-1} via a jitted log-depth scan."""
+        return self.pows_of(self.pack([x]), m)
 
     def eval_many_at(self, coeff_stack: jax.Array, x: int) -> list[int]:
-        """Evaluate a stack of coeff polys [m, n, 16] at scalar x; host ints out."""
-        xp = self.pows_dev(x, coeff_stack.shape[1])
+        """Evaluate a stack of coeff polys [m, 16, n] at scalar x; host ints out."""
+        xp = self.pows_dev(x, coeff_stack.shape[-1])
         prods = self.df.mont_mul(coeff_stack, xp[None])
-        # log-depth sum over axis 1
+        # log-depth sum over the lane axis
         s = prods
-        while s.shape[1] > 1:
-            half = s.shape[1] // 2
-            red = self.df.add(s[:, :half], s[:, half : 2 * half])
-            if s.shape[1] % 2:
+        while s.shape[-1] > 1:
+            half = s.shape[-1] // 2
+            red = self.df.add(s[..., :half], s[..., half : 2 * half])
+            if s.shape[-1] % 2:
                 red = jnp.concatenate(
-                    [self.df.add(red[:, :1], s[:, -1:]), red[:, 1:]], axis=1
+                    [self.df.add(red[..., :1], s[..., -1:]), red[..., 1:]], axis=-1
                 )
             s = red
-        return self.unpack(s[:, 0])
+        return self.unpack(s)
 
     # --- host scalar helpers -------------------------------------------------------
     def eval_coeffs_host(self, coeffs: list[int], x: int) -> int:

@@ -107,23 +107,33 @@ def _permute_pair(a_vals: list[int], s_vals: list[int], u: int, n: int, rng):
 
 def _u16_cols(cols: list[list[int]], n: int) -> np.ndarray:
     """Host int columns -> uint16[C, n, 16] canonical limb tensor (compact
-    upload format: half the bytes of the uint32 device layout)."""
+    upload format: half the bytes of the uint32 device layout). Uses the
+    native C packer when available (~10x over per-int to_bytes for the
+    mostly-full-width field elements of real witness columns)."""
     if not cols:
         return np.zeros((0, n, N_LIMBS), dtype=np.uint16)
     flat: list[int] = []
     for c in cols:
         assert len(c) == n
         flat.extend(c)
+    from ..native import get_native
+
+    nat = get_native()
+    if nat is not None and hasattr(nat, "pack_limbs16"):
+        buf = nat.pack_limbs16(flat)
+        return np.frombuffer(buf, dtype="<u2").reshape(len(cols), n, N_LIMBS)
     return ints_to_limbs(flat).astype(np.uint16).reshape(len(cols), n, N_LIMBS)
 
 
 def _row_sharder(mesh):
-    """Shard axis -2 (the row axis n) of column tensors over the mesh's first
-    axis. The stage jits then run SPMD: XLA's partitioner propagates the
-    sharding through to_mont/NTT/MSM/expression graphs and inserts the
-    collectives (all_gather/psum/collective_permute) where columns mix —
-    the 'annotate shardings, let XLA insert collectives' recipe. n = 2^k is
-    always divisible by the mesh size."""
+    """Shard the row axis n of column tensors over the mesh's first axis.
+    Uploaded u16 tensors are [C, n, 16] (rows at -2); device limb-major
+    tensors are [C, 16, n] (rows at -1) — shard whichever axis is the large
+    power-of-two one. The stage jits then run SPMD: XLA's partitioner
+    propagates the sharding through to_mont/NTT/MSM/expression graphs and
+    inserts the collectives (all_gather/psum/collective_permute) where
+    columns mix — the 'annotate shardings, let XLA insert collectives'
+    recipe. n = 2^k is always divisible by the mesh size."""
     if mesh is None:
         return lambda t: t
     from jax.sharding import NamedSharding, PartitionSpec
@@ -132,9 +142,12 @@ def _row_sharder(mesh):
 
     def shard(t):
         ndev = mesh.devices.size
-        if t.ndim >= 2 and t.shape[-2] % ndev == 0 and t.shape[-2] >= ndev:
+        if t.ndim < 2:
+            return t
+        row_ax = -2 if t.shape[-2] > t.shape[-1] else -1
+        if t.shape[row_ax] % ndev == 0 and t.shape[row_ax] >= ndev:
             spec = [None] * t.ndim
-            spec[-2] = ax
+            spec[row_ax] = ax
             return jax.device_put(t, NamedSharding(mesh, PartitionSpec(*spec)))
         return t
 
@@ -188,7 +201,8 @@ class ProverRuntime:
         @jax.jit
         def _prep(tblq, sigma_mont):
             lag = jnp.concatenate(
-                [df._to_mont(tblq.astype(jnp.uint32)), sigma_mont], axis=0
+                [df._to_mont(tblq.astype(jnp.uint32).transpose(0, 2, 1)), sigma_mont],
+                axis=0,
             )
             coeff = dom.ntt.inverse(lag)
             ext = dom.coset_ntt.forward(_pad_coeff(coeff, dom.n_ext))
@@ -208,13 +222,13 @@ class ProverRuntime:
 
         @jax.jit
         def _prep_consts(cq):
-            lag = df._to_mont(cq.astype(jnp.uint32))
+            lag = df._to_mont(cq.astype(jnp.uint32).transpose(0, 2, 1))
             return dom.coset_ntt.forward(_pad_coeff(dom.ntt.inverse(lag), dom.n_ext))
 
         l0_e, llast_e, lact_e = _prep_consts(consts_u16)
         _tt = _stage("rt: domain consts", _tt)
         # X on the coset: poly with coeffs [0, 1]
-        xp = jnp.zeros((dom.n_ext, N_LIMBS), jnp.uint32).at[1].set(jnp.asarray(df.ONE_MONT))
+        xp = jnp.zeros((N_LIMBS, dom.n_ext), jnp.uint32).at[:, 1].set(jnp.asarray(df.ONE_MONT))
         x_poly_e = jax.jit(dom.coset_ntt.forward)(xp)
 
         # All per-pk device state is passed to the stage jits as ARGUMENTS
@@ -247,36 +261,25 @@ class ProverRuntime:
 
 
 def _pad_coeff(coeff, n_ext):
-    """[..., n, 16] coeffs -> zero-padded [..., n_ext, 16]."""
+    """[..., 16, n] coeffs -> zero-padded [..., 16, n_ext]."""
     pad = [(0, 0)] * coeff.ndim
-    pad[-2] = (0, n_ext - coeff.shape[-2])
+    pad[-1] = (0, n_ext - coeff.shape[-1])
     return jnp.pad(coeff, pad)
 
 
-def _affine_canonical(dc, pts):
-    """[C] Jacobian -> (x_limbs, y_limbs, inf) canonical uint32[C, 16]."""
-    df = dc.df
-    X, Y, Z = pts
-    inf = df.is_zero(Z)
-    zinv = df._batch_inv(Z)
-    zi2 = df._mont_mul(zinv, zinv)
-    ax = df._mont_mul(X, zi2)
-    ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
-    return df._from_mont(ax), df._from_mont(ay), inf
-
-
 def _host_points(dc, got) -> list:
-    """Device (x_limbs, y_limbs, inf) -> host affine points (None=identity)."""
+    """Packed device commitments uint32[C, 33] (x|y|inf) -> host affine
+    points (None = identity). ONE device->host transfer."""
     from ..ops.limbs import limbs_to_ints
 
-    ax, ay, inf = (np.asarray(t) for t in (jax.device_get(got[0]), jax.device_get(got[1]), jax.device_get(got[2])))
-    xs = limbs_to_ints(ax.reshape(-1, N_LIMBS))
-    ys = limbs_to_ints(ay.reshape(-1, N_LIMBS))
-    return [None if i else (x, y) for x, y, i in zip(xs, ys, inf.reshape(-1))]
+    packed = np.asarray(jax.device_get(got)).reshape(-1, 33)
+    xs = limbs_to_ints(packed[:, :N_LIMBS])
+    ys = limbs_to_ints(packed[:, N_LIMBS : 2 * N_LIMBS])
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, packed[:, 32])]
 
 
 def _tree_sum(df, stack):
-    """Field sum along axis 0 of [m, ..., 16] (log-depth)."""
+    """Field sum along axis 0 of [m, ..., 16, B] (log-depth)."""
     s = stack
     while s.shape[0] > 1:
         half = s.shape[0] // 2
@@ -287,8 +290,22 @@ def _tree_sum(df, stack):
     return s[0]
 
 
+def _tree_sum_lanes(df, t):
+    """Field sum along the LANE axis of [..., 16, B] -> [..., 16, 1]."""
+    s = t
+    while s.shape[-1] > 1:
+        half = s.shape[-1] // 2
+        red = df._add(s[..., :half], s[..., half : 2 * half])
+        if s.shape[-1] % 2:
+            red = jnp.concatenate(
+                [df._add(red[..., :1], s[..., -1:]), red[..., 1:]], axis=-1
+            )
+        s = red
+    return s
+
+
 def _tree_prod(df, stack):
-    """Field product along axis 0 of [m, ..., 16] (log-depth)."""
+    """Field product along axis 0 of [m, ..., 16, B] (log-depth)."""
     s = stack
     while s.shape[0] > 1:
         half = s.shape[0] // 2
@@ -472,7 +489,9 @@ def create_proof(
         cols = adv_t + lk_t + (instance_vals if t == 0 else [])
         cols_u16 = _shard(jnp.asarray(_u16_cols(cols, n)))
 
-        lag_t = rt.jit("to_mont", lambda c: df._to_mont(c.astype(jnp.uint32)))(cols_u16)
+        lag_t = rt.jit(
+            "to_mont", lambda c: df._to_mont(c.astype(jnp.uint32).transpose(0, 2, 1))
+        )(cols_u16)
         com1 = params.commit_columns(df, lag_t[:ncommit], T["lagA"])
         for pt in _host_points(dc, com1):
             tr.write_point(pt)
@@ -492,7 +511,7 @@ def create_proof(
             cat = lambda xs: (
                 jnp.concatenate(xs, axis=0)
                 if xs
-                else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
+                else jnp.zeros((0, N_LIMBS, n), jnp.uint32)
             )
             return cat(advs), cat(lks)
 
@@ -512,12 +531,14 @@ def create_proof(
     if nd:
         dyn_u16 = _shard(jnp.asarray(_u16_cols(dyn_vals, n)))
 
-        dyn_lag = rt.jit("to_mont", lambda c: df._to_mont(c.astype(jnp.uint32)))(dyn_u16)
+        dyn_lag = rt.jit(
+            "to_mont", lambda c: df._to_mont(c.astype(jnp.uint32).transpose(0, 2, 1))
+        )(dyn_u16)
         comd = params.commit_columns(df, dyn_lag, T["lagA"])
         for pt in _host_points(dc, comd):
             tr.write_point(pt)
     else:
-        dyn_lag = jnp.zeros((0, n, N_LIMBS), jnp.uint32)
+        dyn_lag = jnp.zeros((0, N_LIMBS, n), jnp.uint32)
     _t = _stage("advice commits", _t)
 
     theta = tr.squeeze_challenge()  # lookup input/table compression
@@ -548,7 +569,9 @@ def create_proof(
         permuted_host.extend([a_p, s_p])
     perm_u16 = _shard(jnp.asarray(_u16_cols(permuted_host, n)))
 
-    permuted_lag = rt.jit("to_mont", lambda c: df._to_mont(c.astype(jnp.uint32)))(perm_u16)
+    permuted_lag = rt.jit(
+        "to_mont", lambda c: df._to_mont(c.astype(jnp.uint32).transpose(0, 2, 1))
+    )(perm_u16)
     com2 = params.commit_columns(df, permuted_lag, T["lagA"])
     for pt in _host_points(dc, com2):
         tr.write_point(pt)
@@ -568,7 +591,7 @@ def create_proof(
     zb_u16 = jnp.asarray(_u16_cols(zblind, n - u - 1)) if zblind else jnp.zeros((0, n - u - 1, N_LIMBS), jnp.uint16)
     rand_u16 = _shard(jnp.asarray(_u16_cols([random_lag_vals], n)))
 
-    row_lt_u = (jnp.arange(n) < u)[:, None]
+    row_lt_u = (jnp.arange(n) < u)[None, :]  # broadcast over [16, n] rows
     tix = rt._tbl_index
 
     def _perm_value_stack(T, adv_lag, lk_lag, dyn_lag, inst_lag):
@@ -583,7 +606,7 @@ def create_proof(
             parts.append(inst_lag)
         if nd:
             parts.append(dyn_lag)
-        return jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0, n, N_LIMBS), jnp.uint32)
+        return jnp.concatenate(parts, axis=0) if parts else jnp.zeros((0, N_LIMBS, n), jnp.uint32)
 
     def _compressed_stacks(get_tensor, theta_t, shape_tail):
         """Per-instance theta-compressed (input, table) tensors [ninst, ...]."""
@@ -605,48 +628,48 @@ def create_proof(
             a_list.append(fold(srcs_in))
             s_list.append(fold(srcs_tbl))
         if not a_list:
-            z = jnp.zeros((0,) + shape_tail + (N_LIMBS,), jnp.uint32)
+            z = jnp.zeros((0, N_LIMBS) + shape_tail, jnp.uint32)
             return z, z
         return jnp.stack(a_list), jnp.stack(s_list)
 
     def _grand_products(ratio):
-        """ratio [C, n] (rows >= u already 1) -> (z exclusive, incl) [C, n]."""
-        incl = jax.lax.associative_scan(df._mont_mul, ratio, axis=1)
+        """ratio [C, 16, n] (rows >= u already 1) -> (z exclusive, incl)."""
+        incl = jax.lax.associative_scan(df._mont_mul, ratio, axis=ratio.ndim - 1)
         one = df.one_mont((ratio.shape[0], 1))
-        z = jnp.concatenate([one, incl[:, :-1]], axis=1)
+        z = jnp.concatenate([one, incl[..., :-1]], axis=-1)
         return z, incl
 
     def s3(T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, scal, zb_u16, rand_u16):
-        beta_h = jnp.broadcast_to(scal[1], (n, N_LIMBS))
-        gamma_h = jnp.broadcast_to(scal[2], (n, N_LIMBS))
-        zb = df._to_mont(zb_u16.astype(jnp.uint32))
-        rand_lag = df._to_mont(rand_u16.astype(jnp.uint32))
+        beta_c = scal[:, 1:2]  # [16, 1] broadcast scalars
+        gamma_c = scal[:, 2:3]
+        zb = df._to_mont(zb_u16.astype(jnp.uint32).transpose(0, 2, 1))
+        rand_lag = df._to_mont(rand_u16.astype(jnp.uint32).transpose(0, 2, 1))
         zcols = []
         if ncols:
             sigma_lag = jnp.stack([T["lag"][tix[f"sigma{ci}"]] for ci in range(ncols)])
-            vals = _perm_value_stack(T, adv_lag, lk_lag, dyn_lag, inst_lag)  # [ncols, n]
-            bd = scal[3:]  # [ncols, 16]
-            id_side = df._add(df._add(vals, df._mont_mul(T["omega"][None], bd[:, None])), gamma_h)
-            sig_side = df._add(df._add(vals, df._mont_mul(sigma_lag, scal[1])), gamma_h)
+            vals = _perm_value_stack(T, adv_lag, lk_lag, dyn_lag, inst_lag)  # [ncols,16,n]
+            bd = jnp.swapaxes(scal[:, 3:], 0, 1)[:, :, None]  # [ncols, 16, 1]
+            id_side = df._add(df._add(vals, df._mont_mul(T["omega"][None], bd)), gamma_c)
+            sig_side = df._add(df._add(vals, df._mont_mul(sigma_lag, beta_c)), gamma_c)
             # chunk products (pad to nchunks * PERM_CHUNK with ones)
             width = perm_chunks(ncols)[0][1] - perm_chunks(ncols)[0][0]
             total = nchunks * width
             onepad = df.one_mont((total - ncols, n))
-            id_p = jnp.concatenate([id_side, onepad], 0).reshape(nchunks, width, n, N_LIMBS)
-            sig_p = jnp.concatenate([sig_side, onepad], 0).reshape(nchunks, width, n, N_LIMBS)
+            id_p = jnp.concatenate([id_side, onepad], 0).reshape(nchunks, width, N_LIMBS, n)
+            sig_p = jnp.concatenate([sig_side, onepad], 0).reshape(nchunks, width, N_LIMBS, n)
             numer = _tree_prod(df, id_p.swapaxes(0, 1))
             denom = _tree_prod(df, sig_p.swapaxes(0, 1))
-            inv = df._batch_inv(denom.reshape(-1, N_LIMBS)).reshape(denom.shape)
+            inv = df._batch_inv(denom)
             ratio = df._mont_mul(numer, inv)
-            ratio = jnp.where(row_lt_u[None], ratio, df.one_mont(ratio.shape[:-1]))
+            ratio = jnp.where(row_lt_u[None], ratio, df.one_mont((nchunks, n)))
             z, incl = _grand_products(ratio)
             # chain chunks: scale_j = prod_{j' < j} z_{j'}[u]
-            ends = incl[:, u - 1] if u > 0 else df.one_mont((nchunks,))
+            ends = incl[..., u - 1 : u] if u > 0 else df.one_mont((nchunks, 1))
             scale_incl = jax.lax.associative_scan(df._mont_mul, ends, axis=0)
-            scale = jnp.concatenate([df.one_mont((1,)), scale_incl[:-1]], axis=0)
-            z = jnp.where(row_lt_u[None] | (jnp.arange(n) == u)[None, :, None],
-                          df._mont_mul(z, scale[:, None]), z)
-            z = z.at[:, u + 1 :].set(zb[:nchunks])
+            scale = jnp.concatenate([df.one_mont((1, 1)), scale_incl[:-1]], axis=0)
+            z = jnp.where(row_lt_u[None] | (jnp.arange(n) == u)[None, None, :],
+                          df._mont_mul(z, scale), z)
+            z = z.at[..., u + 1 :].set(zb[:nchunks])
             zcols.append(z)
         if ninst:
             runtime_pre = jnp.concatenate([adv_lag, lk_lag, dyn_lag, inst_lag], axis=0)
@@ -656,16 +679,16 @@ def create_proof(
                 assert kind in ("rt", "tbl")
                 return runtime_pre[idx] if kind == "rt" else T["lag"][idx]
 
-            a_in, t_in = _compressed_stacks(get_lag, scal[0], (n,))
+            a_in, t_in = _compressed_stacks(get_lag, scal[:, 0:1], (n,))
             a_p = permuted_lag[0::2]
             s_p = permuted_lag[1::2]
-            numer = df._mont_mul(df._add(a_in, beta_h), df._add(t_in, gamma_h))
-            denom = df._mont_mul(df._add(a_p, beta_h), df._add(s_p, gamma_h))
-            inv = df._batch_inv(denom.reshape(-1, N_LIMBS)).reshape(denom.shape)
+            numer = df._mont_mul(df._add(a_in, beta_c), df._add(t_in, gamma_c))
+            denom = df._mont_mul(df._add(a_p, beta_c), df._add(s_p, gamma_c))
+            inv = df._batch_inv(denom)
             ratio = df._mont_mul(numer, inv)
-            ratio = jnp.where(row_lt_u[None], ratio, df.one_mont(ratio.shape[:-1]))
+            ratio = jnp.where(row_lt_u[None], ratio, df.one_mont((ninst, n)))
             zl, _ = _grand_products(ratio)
-            zl = zl.at[:, u + 1 :].set(zb[nchunks:])
+            zl = zl.at[..., u + 1 :].set(zb[nchunks:])
             zcols.append(zl)
         return jnp.concatenate(zcols + [rand_lag], axis=0) if zcols else rand_lag
 
@@ -711,13 +734,13 @@ def create_proof(
         permz_e, o = ext[o : o + nchunks], o + nchunks
         lkz_e, o = ext[o : o + ninst], o + ninst
 
-        beta_e = jnp.broadcast_to(scal[1], (ne, N_LIMBS))
-        gamma_e = jnp.broadcast_to(scal[2], (ne, N_LIMBS))
+        beta_e = scal[:, 1:2]
+        gamma_e = scal[:, 2:3]
         one_e = df.one_mont((ne,))
         exprs = []
 
         def rot(t, r):
-            return jnp.roll(t, -4 * r, axis=-2)
+            return jnp.roll(t, -4 * r, axis=-1)
 
         # 1. gates
         if na:
@@ -732,7 +755,7 @@ def create_proof(
         # 1b. challenge pins: q_chal_i * (advice_col - challenge)
         for i, (_c, flat_col) in enumerate(vk.challenge_pins):
             q_e = T["ext"][tix[f"chalq{i}"]]
-            diff = df._sub(adv_e[flat_col], jnp.broadcast_to(chal_dev[i], (ne, N_LIMBS)))
+            diff = df._sub(adv_e[flat_col], jnp.broadcast_to(chal_dev[:, i : i + 1], (N_LIMBS, ne)))
             exprs.append(df._mont_mul(q_e, diff))
 
         # 2. permutation
@@ -755,18 +778,18 @@ def create_proof(
                 parts.append(inst_e)
             if nd:
                 parts.append(dyn_e)
-            vals_e = jnp.concatenate(parts, axis=0)  # [ncols, ne]
+            vals_e = jnp.concatenate(parts, axis=0)  # [ncols, 16, ne]
             sigma_e = jnp.stack([T["ext"][tix[f"sigma{ci}"]] for ci in range(ncols)])
-            bd = scal[3:]
-            left_f = df._add(df._add(vals_e, df._mont_mul(sigma_e, scal[1])), gamma_e)
+            bd = jnp.swapaxes(scal[:, 3:], 0, 1)[:, :, None]  # [ncols, 16, 1]
+            left_f = df._add(df._add(vals_e, df._mont_mul(sigma_e, beta_e)), gamma_e)
             right_f = df._add(
-                df._add(vals_e, df._mont_mul(T["x_poly_e"][None], bd[:, None])), gamma_e
+                df._add(vals_e, df._mont_mul(T["x_poly_e"][None], bd)), gamma_e
             )
             width = perm_chunks(ncols)[0][1] - perm_chunks(ncols)[0][0]
             total = nchunks * width
             onep = df.one_mont((total - ncols, ne))
-            lf = jnp.concatenate([left_f, onep], 0).reshape(nchunks, width, ne, N_LIMBS)
-            rf = jnp.concatenate([right_f, onep], 0).reshape(nchunks, width, ne, N_LIMBS)
+            lf = jnp.concatenate([left_f, onep], 0).reshape(nchunks, width, N_LIMBS, ne)
+            rf = jnp.concatenate([right_f, onep], 0).reshape(nchunks, width, N_LIMBS, ne)
             left = df._mont_mul(rot(permz_e, 1), _tree_prod(df, lf.swapaxes(0, 1)))
             right = df._mont_mul(permz_e, _tree_prod(df, rf.swapaxes(0, 1)))
             chunk_e = df._mont_mul(T["lact_e"][None], df._sub(left, right))
@@ -780,12 +803,12 @@ def create_proof(
                 kind, idx = src
                 return runtime_pre_e[idx] if kind == "rt" else T["ext"][idx]
 
-            a_in_e, t_in_e = _compressed_stacks(get_ext, scal[0], (ne,))
+            a_in_e, t_in_e = _compressed_stacks(get_ext, scal[:, 0:1], (ne,))
             a_p_e = perm_e[0::2]
             s_p_e = perm_e[1::2]
-            l0b = jnp.broadcast_to(T["l0_e"][None], (ninst, ne, N_LIMBS))
-            llb = jnp.broadcast_to(T["llast_e"][None], (ninst, ne, N_LIMBS))
-            lab = jnp.broadcast_to(T["lact_e"][None], (ninst, ne, N_LIMBS))
+            l0b = T["l0_e"][None]
+            llb = T["llast_e"][None]
+            lab = T["lact_e"][None]
             e1 = df._mont_mul(l0b, df._sub(df.one_mont((ninst, ne)), lkz_e))
             e2 = df._mont_mul(llb, df._sub(df._mont_mul(lkz_e, lkz_e), lkz_e))
             left = df._mont_mul(
@@ -806,16 +829,17 @@ def create_proof(
                 exprs.extend([e1[j], e2[j], e3[j], e4[j], e5[j]])
 
         assert len(exprs) == K
-        stack = jnp.stack(exprs)  # [K, ne, 16]
-        ypows = dom.pows_of(ych, K)[::-1]  # y^{K-1} ... y^0
-        acc = _tree_sum(df, df._mont_mul(stack, ypows[:, None]))
+        stack = jnp.stack(exprs)  # [K, 16, ne]
+        ypows = dom.pows_of(ych, K)[:, ::-1]  # y^{K-1} ... y^0, [16, K]
+        ycol = jnp.swapaxes(ypows, 0, 1)[:, :, None]  # [K, 16, 1]
+        acc = _tree_sum(df, df._mont_mul(stack, ycol))
         h_ext = df._mont_mul(acc, T["zh_inv"])
         h_coeffs = dom.coset_ntt.inverse(h_ext)
-        top_zero = jnp.all(h_coeffs[3 * n :] == 0)
-        pieces = h_coeffs[: 3 * n].reshape(3, n, N_LIMBS)
+        top_zero = jnp.all(h_coeffs[:, 3 * n :] == 0)
+        pieces = h_coeffs[:, : 3 * n].reshape(N_LIMBS, 3, n).transpose(1, 0, 2)
         return pieces, top_zero
 
-    ych = dom.pack([y])[0]
+    ych = dom.pack([y])
     runtime_coeffs, runtime_ext = rt.jit("s4a", s4a)(
         adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag
     )
@@ -839,7 +863,8 @@ def create_proof(
     h_scal = dom.pack([1, xc, xc * xc % P])  # [3, 16]
 
     def s5_fn(T, runtime_coeffs, h_pieces, pt_scalars, h_scal):
-        h_comb = _tree_sum(df, df._mont_mul(h_pieces, h_scal[:, None]))
+        hcol = jnp.swapaxes(h_scal, 0, 1)[:, :, None]  # [3, 16, 1]
+        h_comb = _tree_sum(df, df._mont_mul(h_pieces, hcol))
         evals_out = []
         for pi, pl in enumerate(point_list):
             labels = by_point[pl]
@@ -852,9 +877,9 @@ def create_proof(
                     stack.append(h_comb)
                 else:
                     stack.append(T["coeff"][idx])
-            stack = jnp.stack(stack)  # [L, n, 16]
-            xp = dom.pows_of(pt_scalars[pi], n)
-            vals = _tree_sum(df, df._mont_mul(stack, xp[None]).swapaxes(0, 1))
+            stack = jnp.stack(stack)  # [L, 16, n]
+            xp = dom.pows_of(pt_scalars[:, pi : pi + 1], n)  # [16, n]
+            vals = _tree_sum_lanes(df, df._mont_mul(stack, xp[None]))  # [L, 16, 1]
             evals_out.append(df._from_mont(vals))
         return evals_out
 
@@ -864,7 +889,7 @@ def create_proof(
 
     evals: dict[str, dict[str, int]] = {lb: {} for lb, _ in plan}
     for pi, pl in enumerate(point_list):
-        vals = limbs_to_ints(np.asarray(jax.device_get(eval_tensors[pi])))
+        vals = limbs_to_ints(np.asarray(jax.device_get(eval_tensors[pi]))[:, :, 0])
         for lb, v in zip(by_point[pl], vals):
             evals[lb][pl] = v
     for label, pts_labels in plan:
@@ -924,9 +949,10 @@ def create_proof(
         runtime_lag = jnp.concatenate(
             [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
         )
-        h_comb = _tree_sum(df, df._mont_mul(h_pieces, h_scal[:, None]))
+        hcol = jnp.swapaxes(h_scal, 0, 1)[:, :, None]
+        h_comb = _tree_sum(df, df._mont_mul(h_pieces, hcol))
         h_lag = dom.ntt.forward(h_comb)
-        W = T["omega"]
+        W = T["omega"]  # [16, n]
         g_forms = []
         for gi, srcs in enumerate(group_label_srcs):
             stack = []
@@ -937,31 +963,33 @@ def create_proof(
                     stack.append(h_lag)
                 else:
                     stack.append(T["lag"][idx])
-            stack = jnp.stack(stack)
-            vp = vpow_dev[gi * max_labels : gi * max_labels + len(srcs)]
-            g = _tree_sum(df, df._mont_mul(stack, vp[:, None]))
+            stack = jnp.stack(stack)  # [L, 16, n]
+            vp = vpow_dev[:, gi * max_labels : gi * max_labels + len(srcs)]
+            vcol = jnp.swapaxes(vp, 0, 1)[:, :, None]  # [L, 16, 1]
+            g = _tree_sum(df, df._mont_mul(stack, vcol))
             g_forms.append(g)
-        gstack = jnp.stack(g_forms)  # [ngroups, n, 16]
+        gstack = jnp.stack(g_forms)  # [ngroups, 16, n]
 
         # r_j on H (Horner, deg < max_pts) and Z_{S_j} on H
         r_on_h = []
         zs_on_h = []
         for gi in range(ngroups):
-            r = r_dev[gi * max_pts : (gi + 1) * max_pts]
-            acc = jnp.broadcast_to(r[-1], (n, N_LIMBS))
+            r = r_dev[:, gi * max_pts : (gi + 1) * max_pts]  # [16, max_pts]
+            acc = jnp.broadcast_to(r[:, -1:], (N_LIMBS, n))
             for d in range(max_pts - 2, -1, -1):
-                acc = df._add(df._mont_mul(acc, W), r[d])
+                acc = df._add(df._mont_mul(acc, W), r[:, d : d + 1])
             r_on_h.append(acc)
-            s = s_dev[gi * max_pts : (gi + 1) * max_pts]
-            zs = df._sub(W, jnp.broadcast_to(s[0], (n, N_LIMBS)))
+            s = s_dev[:, gi * max_pts : (gi + 1) * max_pts]
+            zs = df._sub(W, jnp.broadcast_to(s[:, 0:1], (N_LIMBS, n)))
             for d in range(1, npts_per_group[gi]):
-                zs = df._mont_mul(zs, df._sub(W, jnp.broadcast_to(s[d], (n, N_LIMBS))))
+                zs = df._mont_mul(zs, df._sub(W, jnp.broadcast_to(s[:, d : d + 1], (N_LIMBS, n))))
             zs_on_h.append(zs)
         r_stack = jnp.stack(r_on_h)
         zs_stack = jnp.stack(zs_on_h)
-        inv_zs = df._batch_inv(zs_stack.reshape(-1, N_LIMBS)).reshape(zs_stack.shape)
+        inv_zs = df._batch_inv(zs_stack)
         num = df._sub(gstack, r_stack)
-        terms = df._mont_mul(df._mont_mul(num, inv_zs), w_dev[:, None])
+        wcol = jnp.swapaxes(w_dev, 0, 1)[:, :, None]  # [ngroups, 16, 1]
+        terms = df._mont_mul(df._mont_mul(num, inv_zs), wcol)
         h_open = _tree_sum(df, terms)
         h_open_coeffs = dom.ntt.inverse(h_open)
         return gstack, h_open, h_open_coeffs
@@ -995,13 +1023,12 @@ def create_proof(
 
     def s7(T, gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev):
         W = T["omega"]
-        terms = df._mont_mul(
-            df._sub(gstack, jnp.broadcast_to(ru_dev[:, None], gstack.shape)),
-            scale_dev[:, None],
-        )
+        rucol = jnp.swapaxes(ru_dev, 0, 1)[:, :, None]  # [ngroups, 16, 1]
+        sccol = jnp.swapaxes(scale_dev, 0, 1)[:, :, None]
+        terms = df._mont_mul(df._sub(gstack, rucol), sccol)
         L_acc = _tree_sum(df, terms)
-        L_acc = df._sub(L_acc, df._mont_mul(h_open_lag, ztu_dev[0]))
-        inv_xu = df._batch_inv(df._sub(W, jnp.broadcast_to(uch_dev[0], (n, N_LIMBS))))
+        L_acc = df._sub(L_acc, df._mont_mul(h_open_lag, ztu_dev))
+        inv_xu = df._batch_inv(df._sub(W, jnp.broadcast_to(uch_dev, (N_LIMBS, n))))
         q_evals = df._mont_mul(L_acc, inv_xu)
         return dom.ntt.inverse(q_evals)
 

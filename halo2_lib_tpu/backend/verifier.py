@@ -39,6 +39,21 @@ def verify_proof(
     proof: bytes,
     instances: list[list[int]] | None = None,
 ) -> bool:
+    """True iff `proof` verifies. Malformed proofs (undecodable points,
+    truncated transcripts) fail CLOSED: they return False, same as any
+    other invalid proof."""
+    try:
+        return _verify_proof_inner(params, vk, proof, instances)
+    except (VerificationError, ValueError, IndexError, AssertionError):
+        return False
+
+
+def _verify_proof_inner(
+    params: ParamsKZG,
+    vk: VerifyingKey,
+    proof: bytes,
+    instances: list[list[int]] | None = None,
+) -> bool:
     instances = instances or []
     k = vk.k
     n = 1 << k

@@ -2,14 +2,14 @@
 
 This is the TPU backend for the prover's KZG column commitments — the role of
 Pippenger MSM inside `halo2-axiom`'s `create_proof` (SURVEY.md §2.9). Points
-live in Jacobian coordinates as three `uint32[..., 16]` Montgomery-limb
-tensors (see ops/limbs.py); the identity is Z == 0.
+live in Jacobian coordinates as three limb-major `uint32[..., 16, B]`
+Montgomery tensors (see ops/limbs.py); the identity is Z == 0.
 
 All point ops are branch-free (every case computed, then `select`ed), so they
 vmap/jit/shard cleanly. The MSM is Pippenger with sort + segmented-scan bucket
 accumulation:
   * per window: bucket index per point, sort points by bucket,
-    segmented associative scan (EC add monoid) -> bucket sums,
+    segmented scan (EC add monoid) in ONE fused pallas kernel -> bucket sums,
   * suffix-sum trick batched ACROSS windows (one lax.scan over 2^c steps
     with the window axis vectorized),
   * final window combine by repeated doubling.
@@ -31,9 +31,14 @@ from ..utils.curves import ShortWeierstrass
 from .limbs import LIMB_BITS, MASK, N_LIMBS, DeviceField, _int_to_limbs
 
 # On TPU the fused pallas kernels (ops/pallas_field.py) replace the XLA
-# limb math for big batches: limb-major VMEM layout uses all 128 lanes
-# where the [..., 16] XLA layout wastes 112 of them.
+# limb math for big batches: dense limb-major VMEM blocks amortize grid and
+# HBM round-trip overheads that dominate the op-by-op XLA path.
 _USE_PALLAS = jax.default_backend() != "cpu" and os.environ.get("HALO2_NO_PALLAS") != "1"
+
+
+def _eshape(t) -> tuple:
+    """Element shape of a limb-major tensor (drop the limb axis)."""
+    return t.shape[:-2] + t.shape[-1:]
 
 
 class DeviceCurve:
@@ -63,8 +68,8 @@ class DeviceCurve:
 
     # --- packing -----------------------------------------------------------
     def pack_points(self, points) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """Affine host points ((x, y) or None) -> Jacobian limb tensors."""
-        from .limbs import ints_to_limbs
+        """Affine host points ((x, y) or None) -> Jacobian limb-major [16, n]."""
+        from .limbs import ints_to_limbs_T
 
         p = self.df.p_int
         R = self.df.R
@@ -72,19 +77,17 @@ class DeviceCurve:
         ys = [0 if pt is None else (pt[1] * R) % p for pt in points]
         zs = [0 if pt is None else R % p for pt in points]
         return (
-            jnp.asarray(ints_to_limbs(xs)),
-            jnp.asarray(ints_to_limbs(ys)),
-            jnp.asarray(ints_to_limbs(zs)),
+            jnp.asarray(ints_to_limbs_T(xs)),
+            jnp.asarray(ints_to_limbs_T(ys)),
+            jnp.asarray(ints_to_limbs_T(zs)),
         )
 
     def unpack_points(self, P) -> list:
-        """Jacobian limb tensors -> affine host points (None for identity)."""
-        X, Y, Z = (np.asarray(jax.device_get(t)) for t in P)
-        flat = X.reshape(-1, N_LIMBS), Y.reshape(-1, N_LIMBS), Z.reshape(-1, N_LIMBS)
+        """Jacobian limb-major tensors -> affine host points (None=identity)."""
         F = self.curve.base
-        xs = self.df.unpack(flat[0])
-        ys = self.df.unpack(flat[1])
-        zs = self.df.unpack(flat[2])
+        xs = self.df.unpack(P[0])
+        ys = self.df.unpack(P[1])
+        zs = self.df.unpack(P[2])
         out = []
         for x, y, z in zip(xs, ys, zs):
             if z == 0:
@@ -179,7 +182,7 @@ class DeviceCurve:
         is_identity_out = h_zero & ~r_zero & ~p1_inf & ~p2_inf
 
         def sel(c, a, b):
-            return jnp.where(c[..., None], a, b)
+            return jnp.where(c[..., None, :], a, b)
 
         X3 = sel(is_double, X3d, X3)
         Y3 = sel(is_double, Y3d, Y3)
@@ -192,8 +195,8 @@ class DeviceCurve:
         return (X3, Y3, Z3)
 
     def select(self, cond, P, Q):
-        """cond ? P : Q, cond shaped like the batch dims."""
-        c = cond[..., None]
+        """cond ? P : Q, cond shaped like the element dims."""
+        c = cond[..., None, :]
         return tuple(jnp.where(c, a, b) for a, b in zip(P, Q))
 
     # --- mixed (Jacobian + affine) add ------------------------------------
@@ -221,7 +224,7 @@ class DeviceCurve:
         X1, Y1, Z1 = P1
         x2, y2 = A2
         st = jnp.stack
-        one = df.one_mont(Z1.shape[:-1])
+        one = df.one_mont(_eshape(Z1))
 
         if distinct:
             Z1Z1 = df._mont_mul(Z1, Z1)
@@ -267,7 +270,7 @@ class DeviceCurve:
         live = ~(df.is_zero(x2) & df.is_zero(y2))
 
         def sel(c, a, b):
-            return jnp.where(c[..., None], a, b)
+            return jnp.where(c[..., None, :], a, b)
 
         if not distinct:
             # doubling branch: P1 == lifted (x2, y2)
@@ -281,44 +284,44 @@ class DeviceCurve:
         # P1 = O -> lifted P2 ; P2 dead -> P1
         X3 = sel(p1_inf, x2, X3)
         Y3 = sel(p1_inf, y2, Y3)
-        Z3 = sel(p1_inf, jnp.where(live[..., None], one, jnp.zeros_like(Z1)), Z3)
+        Z3 = sel(p1_inf, jnp.where(live[..., None, :], one, jnp.zeros_like(Z1)), Z3)
         X3 = sel(~live, X1, X3)
         Y3 = sel(~live, Y1, Y3)
         Z3 = sel(~live, Z1, Z3)
         return (X3, Y3, Z3)
 
     def pack_points_affine(self, points):
-        """Host affine points ((x, y) or None) -> (Ax, Ay) Montgomery limbs,
-        identity encoded as the (0, 0) sentinel. The Montgomery conversion
-        runs on device (one to_mont dispatch, no host bigint modmuls)."""
-        from .limbs import ints_to_limbs
+        """Host affine points ((x, y) or None) -> (Ax, Ay) limb-major [16, n]
+        Montgomery, identity encoded as the (0, 0) sentinel. The Montgomery
+        conversion runs on device (one to_mont dispatch, no host bigints)."""
+        from .limbs import ints_to_limbs_T
 
         xs = [0 if pt is None else pt[0] for pt in points]
         ys = [0 if pt is None else pt[1] for pt in points]
         to_mont = jax.jit(self.df._to_mont)
         return (
-            to_mont(jnp.asarray(ints_to_limbs(xs))),
-            to_mont(jnp.asarray(ints_to_limbs(ys))),
+            to_mont(jnp.asarray(ints_to_limbs_T(xs))),
+            to_mont(jnp.asarray(ints_to_limbs_T(ys))),
         )
 
     # --- reductions -----------------------------------------------------------
     def tree_reduce(self, P):
-        """Sum points along the leading axis by halving (log N complete adds)."""
+        """Sum points along the LANE axis by halving (log N complete adds)."""
         X, Y, Z = P
-        n = X.shape[0]
+        n = X.shape[-1]
         while n > 1:
             half = n // 2
-            even = (X[: 2 * half : 2], Y[: 2 * half : 2], Z[: 2 * half : 2])
-            odd = (X[1 : 2 * half : 2], Y[1 : 2 * half : 2], Z[1 : 2 * half : 2])
+            even = tuple(t[..., 0 : 2 * half : 2] for t in (X, Y, Z))
+            odd = tuple(t[..., 1 : 2 * half : 2] for t in (X, Y, Z))
             s = self._add(even, odd)
             if n % 2:
-                X = jnp.concatenate([s[0], X[-1:]], 0)
-                Y = jnp.concatenate([s[1], Y[-1:]], 0)
-                Z = jnp.concatenate([s[2], Z[-1:]], 0)
+                X = jnp.concatenate([s[0], X[..., -1:]], -1)
+                Y = jnp.concatenate([s[1], Y[..., -1:]], -1)
+                Z = jnp.concatenate([s[2], Z[..., -1:]], -1)
             else:
                 X, Y, Z = s
-            n = X.shape[0]
-        return (X[0], Y[0], Z[0])
+            n = X.shape[-1]
+        return (X, Y, Z)
 
     # --- MSM -------------------------------------------------------------------
     def pack_scalars(self, scalars: list[int], window_bits: int) -> jax.Array:
@@ -348,28 +351,28 @@ class DeviceCurve:
 
 
 def _seg_scan(dc: DeviceCurve, X, Y, Z, flag):
-    """Inclusive segmented EC-sum scan along axis -2 (the axis before limbs).
+    """Inclusive segmented EC-sum scan along the LANE axis.
 
-    `flag` marks segment starts; elements never absorb sums across a start.
-    Hillis-Steele under a fori_loop so the EC-add graph is traced ONCE
-    (an unrolled scan would replicate ~10^2 ops per level into the XLA graph).
-    """
-    L = X.shape[-2]
+    X/Y/Z: [..., 16, L]; `flag` [..., L] marks segment starts; elements never
+    absorb sums across a start. Hillis-Steele under a fori_loop so the EC-add
+    graph is traced ONCE."""
+    L = X.shape[-1]
     idx = jnp.arange(L)
     levels = (L - 1).bit_length()
 
     def body(d, state):
         x, y, z, f = state
         shift = jnp.int32(1) << d
-        px, py, pz = (jnp.roll(t, shift, axis=-2) for t in (x, y, z))
+        px, py, pz = (jnp.roll(t, shift, axis=-1) for t in (x, y, z))
         pf = jnp.roll(f, shift, axis=-1)
         s = dc._add((x, y, z), (px, py, pz))
         # absorb only where this element hasn't hit a segment start and the
         # shifted neighbour is real (no wraparound)
         use = (~f) & (idx >= shift)
-        x = jnp.where(use[..., None], s[0], x)
-        y = jnp.where(use[..., None], s[1], y)
-        z = jnp.where(use[..., None], s[2], z)
+        um = use[..., None, :]
+        x = jnp.where(um, s[0], x)
+        y = jnp.where(um, s[1], y)
+        z = jnp.where(um, s[2], z)
         f = f | (use & pf) | (idx < shift)
         return (x, y, z, f)
 
@@ -378,7 +381,7 @@ def _seg_scan(dc: DeviceCurve, X, Y, Z, flag):
 
 
 # Memory budget for one MSM group: point-slots live at once inside the
-# bucket-accumulation scan (gathered bases + stacked scan outputs, ~5 coord
+# bucket-accumulation scan (gathered bases + scan outputs, ~5 coord
 # tensors of 64 B each => ~2^21 * 320B ~ 670 MB peak).
 _MSM_GROUP_SLOTS = 1 << 21
 # Lanes of the bucket-accumulation scan: each scan step performs one
@@ -389,16 +392,16 @@ _MSM_SCAN_LANES = 512
 def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: bool):
     """Bucket sums for a batch of windows via an O(n)-add segmented scan.
 
-    A: (Ax, Ay) affine bases (Montgomery; (0,0) = identity), [nb, 16].
+    A: (Ax, Ay) limb-major [16, nb] affine bases (Montgomery; (0,0) = identity).
     order/d_sorted: int32[Wb, n] sorted digit order per window.
-    Returns (bX, bY, bZ) uint32[Wb, nbuckets, 16], identity where empty.
+    Returns (bX, bY, bZ) uint32[Wb, 16, nbuckets], identity where empty.
 
     Design: sorted points are laid out [lanes, R] (lane = contiguous chunk of
-    the sorted order), a lax.scan of R steps runs one [Wb, lanes]-wide mixed
-    add per step (n total adds — not the n log n of a Hillis-Steele scan),
-    lane-boundary carries are fixed by a small segmented scan across lanes,
-    and bucket values are picked by binary-search gathers (TPU scatter would
-    serialize; a 2^c-row gather is free).
+    the sorted order); the whole R-step scan of [Wb, lanes]-wide mixed adds
+    runs inside ONE pallas kernel on TPU (bucket_scan; n total adds — not the
+    n log n of a Hillis-Steele scan), lane-boundary carries are fixed by a
+    small segmented scan across lanes, and bucket values are picked by
+    binary-search gathers (TPU scatter would serialize; gathers are cheap).
     """
     Ax, Ay = A
     Wb, n = d_sorted.shape
@@ -407,41 +410,60 @@ def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: b
         CL //= 2
     R = n // CL
 
-    ax = Ax[order]  # [Wb, n, 16]
-    ay = Ay[order]
-    live = (d_sorted > 0)[..., None]
-    ax = jnp.where(live, ax, 0)
-    ay = jnp.where(live, ay, 0)
-
     seg_start = jnp.concatenate(
         [jnp.ones((Wb, 1), bool), d_sorted[:, 1:] != d_sorted[:, :-1]], axis=1
     )
-    # element (lane, r) = sorted position lane*R + r
-    ax_s = ax.reshape(Wb, CL, R, N_LIMBS).transpose(2, 0, 1, 3)  # [R, Wb, CL, 16]
-    ay_s = ay.reshape(Wb, CL, R, N_LIMBS).transpose(2, 0, 1, 3)
-    st_s = seg_start.reshape(Wb, CL, R).transpose(2, 0, 1)  # [R, Wb, CL]
+    live = d_sorted > 0
 
-    ident = dc.identity((Wb, CL))
+    if _USE_PALLAS:
+        # fused path: one lane-gather of stacked (x over y) limb rows, then
+        # the whole R-step segmented scan in a single pallas kernel.
+        from . import pallas_field
 
-    def step(acc, inp):
-        x2, y2, start = inp
-        acc = dc.select(~start, acc, ident)
-        out = dc._madd(acc, (x2, y2), distinct)
-        return out, out
+        Axy = jnp.concatenate([Ax, Ay], axis=0)  # [32, nb]
+        # order_perm[w, r, l] = sorted position l*R + r
+        order_perm = order.reshape(Wb, CL, R).transpose(0, 2, 1)
+        g = jnp.take(Axy, order_perm.reshape(-1), axis=1).reshape(
+            2 * N_LIMBS, Wb, R, CL
+        )
+        live_perm = live.reshape(Wb, CL, R).transpose(0, 2, 1)
+        g = jnp.where(live_perm[None], g, 0)
+        axy = g.transpose(1, 2, 0, 3)  # [Wb, R, 32, CL]
+        st = seg_start.reshape(Wb, CL, R).transpose(0, 2, 1).astype(jnp.int32)
+        out = pallas_field.bucket_scan(dc, axy, st, CL, distinct)  # [Wb,R,48,CL]
+        last = out[:, R - 1]  # [Wb, 48, CL]
+        lastv = tuple(last[:, 16 * i : 16 * (i + 1), :] for i in range(3))
+        sx = sy = sz = None
+    else:
+        lm = live[:, None, :]
+        ax = jnp.where(lm, jnp.take(Ax, order, axis=1).swapaxes(0, 1), 0)  # [Wb,16,n]
+        ay = jnp.where(lm, jnp.take(Ay, order, axis=1).swapaxes(0, 1), 0)
+        # element (lane, r) = sorted position lane*R + r -> scan axis first
+        ax_s = ax.reshape(Wb, N_LIMBS, CL, R).transpose(3, 0, 1, 2)  # [R,Wb,16,CL]
+        ay_s = ay.reshape(Wb, N_LIMBS, CL, R).transpose(3, 0, 1, 2)
+        st_s = seg_start.reshape(Wb, CL, R).transpose(2, 0, 1)  # [R, Wb, CL]
 
-    _, stacked = jax.lax.scan(step, ident, (ax_s, ay_s, st_s))
-    # [R, Wb, CL, 16] x3 -> global sorted order [Wb, n, 16]
-    sx, sy, sz = (
-        t.transpose(1, 2, 0, 3).reshape(Wb, n, N_LIMBS) for t in stacked
-    )
+        ident = dc.identity((Wb, CL))
+
+        def step(acc, inp):
+            x2, y2, start = inp
+            acc = dc.select(~start, acc, ident)
+            o = dc._madd(acc, (x2, y2), distinct)
+            return o, o
+
+        _, stacked = jax.lax.scan(step, ident, (ax_s, ay_s, st_s))
+        # [R, Wb, 16, CL] x3 -> global sorted order [Wb, 16, n]
+        sx, sy, sz = (
+            t.transpose(1, 2, 3, 0).reshape(Wb, N_LIMBS, n) for t in stacked
+        )
+        lastv = tuple(t[-1] for t in stacked)  # [Wb, 16, CL] x3
 
     # lane-boundary carries: inclusive segmented scan (across lanes) of each
     # lane's trailing-run sum, shifted right by one lane
-    lastv = tuple(t[-1] for t in stacked)  # [Wb, CL, 16] x3
-    has_start = jnp.any(st_s, axis=0)  # [Wb, CL]
+    has_start = jnp.any(seg_start.reshape(Wb, CL, R), axis=2)  # [Wb, CL]
     cx, cy, cz = _seg_scan(dc, *lastv, has_start)
-    zero = jnp.zeros((Wb, 1, N_LIMBS), dtype=cx.dtype)
-    cx, cy, cz = (jnp.concatenate([zero, t[:, :-1]], axis=1) for t in (cx, cy, cz))
+    zero = jnp.zeros((Wb, N_LIMBS, 1), dtype=cx.dtype)
+    cx, cy, cz = (jnp.concatenate([zero, t[..., :-1]], axis=-1) for t in (cx, cy, cz))
 
     # bucket b's lane-local sum sits at the LAST index of digit b; add the
     # lane carry iff b's run began before that lane
@@ -453,23 +475,42 @@ def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: b
     present = last_idx >= first_idx
     safe_idx = jnp.clip(last_idx, 0, n - 1)
     lane = safe_idx // R
-    bX = jnp.take_along_axis(sx, safe_idx[..., None], axis=1)
-    bY = jnp.take_along_axis(sy, safe_idx[..., None], axis=1)
-    bZ = jnp.take_along_axis(sz, safe_idx[..., None], axis=1)
-    carX = jnp.take_along_axis(cx, lane[..., None], axis=1)
-    carY = jnp.take_along_axis(cy, lane[..., None], axis=1)
-    carZ = jnp.take_along_axis(cz, lane[..., None], axis=1)
+    if _USE_PALLAS:
+        # single-element gathers from the kernel's [Wb, R, 48, CL] layout,
+        # arranged limb-major: vals[w, c, b] = out[w, idx_r[b], c, lane[b]]
+        idx_r = safe_idx % R
+        cols = jnp.arange(3 * N_LIMBS)
+        lin = (idx_r[:, None, :] * (3 * N_LIMBS) + cols[None, :, None]) * CL + lane[
+            :, None, :
+        ]
+        vals = jnp.take_along_axis(
+            out.reshape(Wb, R * 3 * N_LIMBS * CL)[:, None, :],
+            lin.reshape(Wb, 1, -1),
+            axis=2,
+        ).reshape(Wb, 3 * N_LIMBS, nbuckets)
+        bX = vals[:, :N_LIMBS]
+        bY = vals[:, N_LIMBS : 2 * N_LIMBS]
+        bZ = vals[:, 2 * N_LIMBS :]
+    else:
+        gi = safe_idx[:, None, :]
+        bX = jnp.take_along_axis(sx, gi, axis=2)
+        bY = jnp.take_along_axis(sy, gi, axis=2)
+        bZ = jnp.take_along_axis(sz, gi, axis=2)
+    li = lane[:, None, :]
+    carX = jnp.take_along_axis(cx, li, axis=2)
+    carY = jnp.take_along_axis(cy, li, axis=2)
+    carZ = jnp.take_along_axis(cz, li, axis=2)
     fixed = dc._add((bX, bY, bZ), (carX, carY, carZ))
-    needs_carry = (first_idx < lane * R)[..., None]
+    needs_carry = (first_idx < lane * R)[:, None, :]
     bX = jnp.where(needs_carry, fixed[0], bX)
     bY = jnp.where(needs_carry, fixed[1], bY)
     bZ = jnp.where(needs_carry, fixed[2], bZ)
-    bZ = jnp.where(present[..., None], bZ, 0)
+    bZ = jnp.where(present[:, None, :], bZ, 0)
     return bX, bY, bZ
 
 
 def _msm_from_digits(dc: DeviceCurve, A, digits: jax.Array, window_bits: int, distinct: bool):
-    """Core MSM: affine bases + per-column window digits -> [C] Jacobian points.
+    """Core MSM: affine bases + per-column window digits -> [16, C] Jacobian.
 
     digits: int32[C, W, n]. All C*W windows share one sort dispatch and are
     bucket-accumulated in memory-budgeted groups.
@@ -495,31 +536,39 @@ def _msm_from_digits(dc: DeviceCurve, A, digits: jax.Array, window_bits: int, di
             lambda od: _bucket_sums(dc, A, od[0], od[1], nbuckets, distinct),
             (og, dg),
         )
-        bX, bY, bZ = (t.reshape(Wtot, nbuckets, N_LIMBS) for t in gb)
+        bX, bY, bZ = (t.reshape(Wtot, N_LIMBS, nbuckets) for t in gb)
 
     # suffix-sum trick, vectorized across all windows:
     # acc_b = sum_{j >= b} S_j ; window_total = sum_b acc_b
-    ident = dc.identity((Wtot,))
+    # scan over buckets, highest first; xs arranged [nbuckets, Wtot, 16] and
+    # the carried points live as limb-major [16, Wtot]
+    buckets_rev = (
+        bX[..., ::-1].transpose(2, 0, 1),
+        bY[..., ::-1].transpose(2, 0, 1),
+        bZ[..., ::-1].transpose(2, 0, 1),
+    )
+    identW = dc.identity((Wtot,))  # [16, Wtot]
 
     def suffix_step(carry, bucket):
         acc, total = carry
-        acc = dc._add(acc, bucket)
+        bkt = tuple(t.swapaxes(0, 1) for t in bucket)  # [Wtot, 16] -> [16, Wtot]
+        acc = dc._add(acc, bkt)
         total = dc._add(total, acc)
         return (acc, total), None
 
-    buckets_rev = (
-        bX[:, ::-1].swapaxes(0, 1),
-        bY[:, ::-1].swapaxes(0, 1),
-        bZ[:, ::-1].swapaxes(0, 1),
-    )
-    (_, totals), _ = jax.lax.scan(suffix_step, (ident, ident), buckets_rev)
-    # totals: [Wtot] points -> [C, W]
-    tX, tY, tZ = (t.reshape(C, W, N_LIMBS) for t in totals)
+    (_, totals), _ = jax.lax.scan(suffix_step, (identW, identW), buckets_rev)
+    # totals: [16, Wtot] -> window w of column c at lane c*W + w
+    tX, tY, tZ = totals
 
-    # combine windows MSB-first across all C columns at once
+    # combine windows MSB-first across all C columns at once: lanes [w::W]
     def window_step(res, w):
         res = jax.lax.fori_loop(0, window_bits, lambda _, r: dc._double(r), res)
-        Pw = (tX[:, w], tY[:, w], tZ[:, w])
+        Pw = tuple(
+            jax.lax.dynamic_slice(t.reshape(N_LIMBS, C, W), (0, 0, w), (N_LIMBS, C, 1))[
+                ..., 0
+            ]
+            for t in (tX, tY, tZ)
+        )
         return dc._add(res, Pw), None
 
     res = dc.identity((C,))
@@ -533,9 +582,9 @@ def msm_many_device(
 ):
     """Batched Pippenger MSM over shared affine bases.
 
-    A: (Ax, Ay) uint32[n, 16] Montgomery affine bases ((0,0) = identity).
-    digits: int32[C, W, n] window digits for C independent scalar columns.
-    Returns [C] Jacobian points (X, Y, Z) uint32[C, 16].
+    A: (Ax, Ay) limb-major uint32[16, n] Montgomery affine bases ((0,0) =
+    identity). digits: int32[C, W, n] window digits for C independent scalar
+    columns. Returns Jacobian (X, Y, Z), each uint32[16, C].
 
     `distinct=True` enables the no-doubling mixed add: only sound when
     bucket partial sums can never equal a base (powers-of-tau SRS bases).
@@ -545,10 +594,11 @@ def msm_many_device(
 
 @partial(jax.jit, static_argnums=(0, 3))
 def msm_device(dc: DeviceCurve, P, digits: jax.Array, window_bits: int):
-    """Pippenger on device. P: (X,Y,Z) uint32[n,16] with Z in {0, R} (affine
-    lift or identity); digits: int32[W, n]. Returns one Jacobian point."""
+    """Pippenger on device. P: (X,Y,Z) uint32[16, n] with Z in {0, R} (affine
+    lift or identity); digits: int32[W, n]. Returns one Jacobian point
+    ([16, 1] coords)."""
     X, Y, Z = P
-    inf = dc.df.is_zero(Z)[..., None]
+    inf = dc.df.is_zero(Z)[None, :]
     A = (jnp.where(inf, 0, X), jnp.where(inf, 0, Y))
     res = _msm_from_digits(dc, A, digits[None], window_bits, False)
-    return (res[0][0], res[1][0], res[2][0])
+    return tuple(t[:, :1] for t in res)

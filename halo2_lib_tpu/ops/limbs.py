@@ -8,6 +8,14 @@ below 2^23 — no 64-bit carries anywhere. Montgomery reduction (R = 2^256) is
 interleaved column-wise so the whole modmul is ~110 vector ops over the batch
 dimension, which XLA fuses into a handful of VPU kernels.
 
+Layout: tensors are **limb-major** ``uint32[..., 16, B]`` — the 16-limb axis
+on SUBLANES (axis -2) and the element/batch axis on LANES (axis -1). This is
+the load-bearing TPU choice: the hardware tiles the last two axes as (8, 128),
+so limb-major tensors are dense (16 sublanes = 2 full tiles), every vector op
+uses all 128 lanes, and VMEM blocks in the pallas kernels carry 8x more
+elements than the limbs-minor layout would (which pads 16 -> 128 lanes).
+A single scalar is ``[16, 1]``; a list of K scalars is ``[16, K]``.
+
 Everything here is shape-polymorphic over leading batch dims and jit/vmap/
 shard_map friendly: no data-dependent control flow, static shapes only.
 
@@ -46,6 +54,8 @@ def _use_pallas() -> bool:
 
 
 def _int_to_limbs(x: int, n: int = N_LIMBS) -> np.ndarray:
+    """Host helper: int -> uint32[n] little-endian 16-bit limbs (a flat limb
+    VECTOR, not a device tensor — device scalars are [n, 1])."""
     return np.array([(x >> (LIMB_BITS * i)) & MASK for i in range(n)], dtype=np.uint32)
 
 
@@ -57,7 +67,10 @@ def _limbs_to_int(a) -> int:
 
 
 def ints_to_limbs(values: list[int], n: int = N_LIMBS) -> np.ndarray:
-    """Vectorized packing: list of ints (< 2^(16n)) -> uint32[len, n] limbs."""
+    """Vectorized packing: list of ints (< 2^(16n)) -> uint32[len, n] limbs.
+
+    NOTE: host layout is row-per-value [len, n]; transpose to [n, len] for
+    the device limb-major convention (ints_to_limbs_T does both)."""
     try:
         # fast path: every value < 2^63 packs through one numpy conversion
         # (selector/table/index columns; the common keygen case)
@@ -93,8 +106,14 @@ def ints_to_limbs(values: list[int], n: int = N_LIMBS) -> np.ndarray:
     return out
 
 
+def ints_to_limbs_T(values: list[int], n: int = N_LIMBS) -> np.ndarray:
+    """List of ints -> uint32[n, len] limb-MAJOR device layout."""
+    return np.ascontiguousarray(ints_to_limbs(values, n).T)
+
+
 def limbs_to_ints(arr) -> list[int]:
-    """Vectorized unpacking: uint32[..., n] 16-bit limbs -> list of ints."""
+    """Vectorized unpacking: uint32[..., n] 16-bit limbs (limbs MINOR, the
+    host layout) -> list of ints."""
     a = np.asarray(arr, dtype=np.uint32).reshape(-1, arr.shape[-1])
     u16 = a.astype("<u2")
     buf = u16.tobytes()
@@ -107,9 +126,10 @@ def limbs_to_ints(arr) -> list[int]:
 class DeviceField:
     """Batched modular arithmetic for one prime field on device.
 
-    Elements are ``uint32[..., 16]`` tensors. Unless stated otherwise, inputs
-    and outputs are in Montgomery form (x * 2^256 mod p) — the form used by
-    every kernel (NTT, MSM, stencil) to avoid per-op conversions.
+    Elements are limb-major ``uint32[..., 16, B]`` tensors (see module doc).
+    Unless stated otherwise, inputs and outputs are in Montgomery form
+    (x * 2^256 mod p) — the form used by every kernel (NTT, MSM, stencil)
+    to avoid per-op conversions.
     """
 
     def __init__(self, field: PrimeField):
@@ -143,66 +163,66 @@ class DeviceField:
 
     # --- host <-> device packing (canonical ints <-> Montgomery limbs) -----
     def pack(self, values, mont: bool = True) -> jax.Array:
-        """Pack python ints (canonical) into limb tensors, optionally Montgomery."""
+        """Pack python ints (canonical) into limb-major tensors: an int ->
+        [16, 1]; a list of K ints -> [16, K]. Optionally Montgomery form."""
         if isinstance(values, int):
             values = [values]
-            squeeze = True
-        else:
-            squeeze = False
         p = self.p_int
         if mont:
             vals = [(int(v) << 256) % p for v in values]
         else:
             vals = [int(v) % p for v in values]
-        out = jnp.asarray(ints_to_limbs(vals))
-        return out[0] if squeeze else out
+        return jnp.asarray(ints_to_limbs_T(vals))
 
     def unpack(self, arr, mont: bool = True) -> list[int]:
-        """Unpack limb tensors back to canonical python ints."""
-        a = np.asarray(jax.device_get(arr)).reshape(-1, N_LIMBS)
+        """Unpack limb-major tensors [..., 16, B] back to canonical ints
+        (flattened in element order)."""
+        a = np.asarray(jax.device_get(arr))
+        a = np.moveaxis(a.reshape(-1, N_LIMBS, a.shape[-1]), 1, 2).reshape(-1, N_LIMBS)
         rinv = pow(1 << 256, -1, self.p_int) if mont else 1
         return [(v * rinv) % self.p_int for v in limbs_to_ints(a)]
 
     # --- carry helpers -------------------------------------------------------
     @staticmethod
     def _carry(cols: jax.Array, out_limbs: int) -> jax.Array:
-        """Ripple-carry normalize `cols` (any <=32-bit entries) into 16-bit limbs."""
+        """Ripple-carry normalize `cols` [..., k, B] (any <=32-bit entries)
+        into 16-bit limbs [..., out_limbs, B]."""
         outs = []
-        carry = jnp.zeros_like(cols[..., 0])
-        for j in range(cols.shape[-1]):
-            v = cols[..., j] + carry
+        carry = jnp.zeros_like(cols[..., 0, :])
+        for j in range(cols.shape[-2]):
+            v = cols[..., j, :] + carry
             outs.append(v & MASK)
             carry = v >> LIMB_BITS
         while len(outs) < out_limbs:
             outs.append(carry & MASK)
             carry = carry >> LIMB_BITS
-        return jnp.stack(outs[:out_limbs], axis=-1)
+        return jnp.stack(outs[:out_limbs], axis=-2)
 
     def _cond_sub_p(self, t: jax.Array) -> jax.Array:
-        """t (17 normalized limbs, value < 2p) -> t mod p as 16 limbs."""
+        """t [..., 17, B] (normalized limbs, value < 2p) -> t mod p, 16 limbs."""
         # subtract with borrow
-        p17 = jnp.asarray(self.P17)
+        p17 = self.P17
         diff = []
-        borrow = jnp.zeros_like(t[..., 0])
+        borrow = jnp.zeros_like(t[..., 0, :])
         for j in range(N_LIMBS + 1):
-            d = t[..., j] - p17[j] - borrow
+            d = t[..., j, :] - jnp.uint32(p17[j]) - borrow
             diff.append(d & MASK)
             borrow = (d >> 31) & 1  # d went negative iff top bit set (values < 2^17)
         ge = borrow == 0  # t >= p
         out = []
         for j in range(N_LIMBS):
-            out.append(jnp.where(ge, diff[j], t[..., j]))
-        return jnp.stack(out, axis=-1)
+            out.append(jnp.where(ge, diff[j], t[..., j, :]))
+        return jnp.stack(out, axis=-2)
 
     # --- ring ops (Montgomery-form in, Montgomery-form out) -------------------
     # TPU dispatch threshold for elementwise add/sub: below this flattened
-    # element count the pallas launch overhead beats the XLA padding waste.
+    # element count the pallas launch overhead beats staying in XLA.
     _PALLAS_ELEMWISE_MIN = 4096
 
     def _addsub_pallas(self, a, b, is_add):
         if _use_pallas():
-            shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-            n = int(np.prod(shape)) if shape else 1
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            n = int(np.prod(shape)) // N_LIMBS if shape else 1
             if n >= self._PALLAS_ELEMWISE_MIN:
                 from . import pallas_field
 
@@ -221,21 +241,22 @@ class DeviceField:
         if out is not None:
             return out
         # borrow-chain subtract, then add p back where a < b
-        P = jnp.asarray(self.P)
+        P = self.P
+        a, b = _bcast2(a, b)
         diff = []
-        borrow = jnp.zeros_like(a[..., 0])
+        borrow = jnp.zeros_like(a[..., 0, :])
         for j in range(N_LIMBS):
-            d = a[..., j] - b[..., j] - borrow
+            d = a[..., j, :] - b[..., j, :] - borrow
             diff.append(d & MASK)
             borrow = (d >> 31) & 1
         underflow = borrow == 1
         out = []
         carry = jnp.zeros_like(borrow)
         for j in range(N_LIMBS):
-            v = diff[j] + jnp.where(underflow, P[j], jnp.uint32(0)) + carry
+            v = diff[j] + jnp.where(underflow, jnp.uint32(P[j]), jnp.uint32(0)) + carry
             out.append(v & MASK)
             carry = v >> LIMB_BITS
-        return jnp.stack(out, axis=-1)
+        return jnp.stack(out, axis=-2)
 
     def _neg(self, a: jax.Array) -> jax.Array:
         zero = jnp.zeros_like(a)
@@ -256,56 +277,59 @@ class DeviceField:
     def _conv_cols(a: jax.Array, b: jax.Array, conv_mat: jax.Array) -> jax.Array:
         """Product columns cols[k] = sum_{i+j=k} a_i b_j of two 16-limb values.
 
+        a, b: [..., 16, B] -> [..., 33, B]; entries < 2^21.
         One batched matmul against a 0/1 anti-diagonal matrix — no scatters,
         so the XLA graph stays tiny and the op is MXU/GEMM-friendly.
-        Output: uint32[..., 2*N_LIMBS + 1]; entries < 2^21 (u16 paths) or
-        < 2^31 (bf16 byte path).
         """
         if DeviceField._CONV_SHIFT_ACC:
             return DeviceField._conv_cols_shift(a, b)
-        prod = a[..., :, None] * b[..., None, :]  # [..., 16, 16], exact in u32
+        prod = a[..., :, None, :] * b[..., None, :, :]  # [..., 16, 16, B]
         lohi = jnp.concatenate(
-            [(prod & MASK).reshape(*prod.shape[:-2], N_LIMBS * N_LIMBS),
-             (prod >> LIMB_BITS).reshape(*prod.shape[:-2], N_LIMBS * N_LIMBS)],
-            axis=-1,
+            [
+                (prod & MASK).reshape(*prod.shape[:-3], N_LIMBS * N_LIMBS, prod.shape[-1]),
+                (prod >> LIMB_BITS).reshape(*prod.shape[:-3], N_LIMBS * N_LIMBS, prod.shape[-1]),
+            ],
+            axis=-2,
         )
+        # [..., 512, B] contracted with conv_mat [512, 33] -> [..., 33, B]
         if DeviceField._CONV_IN_F32:
-            out = jnp.dot(
-                lohi.astype(jnp.float32),
+            out = jnp.einsum(
+                "sk,...sb->...kb",
                 conv_mat.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
+                lohi.astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST,
             )
             return out.astype(jnp.uint32)
-        return lohi @ conv_mat
+        return jnp.einsum("sk,...sb->...kb", conv_mat, lohi)
 
     @staticmethod
     def _conv_cols_shift(a: jax.Array, b: jax.Array) -> jax.Array:
         """Shift-accumulate convolution: cols += shift_i(a_i * b), lo/hi split.
 
         16 iterations of a broadcast multiply + two padded adds, all u32 on
-        the VPU. Column sums stay < 2^21.
+        the VPU. Column sums stay < 2^21. a, b: [..., 16, B] -> [..., 33, B].
         """
-        ndim_pad = [(0, 0)] * (a.ndim - 1)
-        cols = jnp.zeros(a.shape[:-1] + (2 * N_LIMBS + 1,), dtype=jnp.uint32)
+        a, b = _bcast2(a, b)
+        pad = [(0, 0)] * (a.ndim - 2)
+        cols = jnp.zeros(a.shape[:-2] + (2 * N_LIMBS + 1, a.shape[-1]), dtype=jnp.uint32)
         for i in range(N_LIMBS):
-            prod = a[..., i : i + 1] * b  # [..., 16] exact u32
+            prod = a[..., i : i + 1, :] * b  # [..., 16, B] exact u32
             lo = prod & MASK
             hi = prod >> LIMB_BITS
-            cols = cols + jnp.pad(lo, ndim_pad + [(i, N_LIMBS + 1 - i)])
-            cols = cols + jnp.pad(hi, ndim_pad + [(i + 1, N_LIMBS - i)])
+            cols = cols + jnp.pad(lo, pad + [(i, N_LIMBS + 1 - i), (0, 0)])
+            cols = cols + jnp.pad(hi, pad + [(i + 1, N_LIMBS - i), (0, 0)])
         return cols
 
     @staticmethod
     def _normalize_low(cols: jax.Array, k: int):
-        """Carry-normalize the first k columns; returns (limbs[..., k], carry)."""
+        """Carry-normalize the first k columns; returns (limbs [..., k, B], carry)."""
         outs = []
-        carry = jnp.zeros_like(cols[..., 0])
+        carry = jnp.zeros_like(cols[..., 0, :])
         for j in range(k):
-            v = cols[..., j] + carry
+            v = cols[..., j, :] + carry
             outs.append(v & MASK)
             carry = v >> LIMB_BITS
-        return jnp.stack(outs, axis=-1), carry
+        return jnp.stack(outs, axis=-2), carry
 
     def _mont_mul(self, a: jax.Array, b: jax.Array) -> jax.Array:
         """Montgomery product; fused pallas kernel on TPU for big batches."""
@@ -323,21 +347,22 @@ class DeviceField:
         sequential parts are three 16-step carry chains of tiny elementwise
         ops. Intermediate column sums stay < 2^22, safe in uint32 lanes.
         """
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        a = jnp.broadcast_to(a, shape + (N_LIMBS,))
-        b = jnp.broadcast_to(b, shape + (N_LIMBS,))
+        a, b = _bcast2(a, b)
         conv_mat = self._conv_mat()
-        T = self._conv_cols(a, b, conv_mat)  # [..., 33]
+        T = self._conv_cols(a, b, conv_mat)  # [..., 33, B]
         # m = (T mod R) * nprime mod R
         t_lo, t_carry = self._normalize_low(T, N_LIMBS)
-        m_cols = self._conv_cols(t_lo, jnp.asarray(self.NPRIME), conv_mat)
+        nprime = jnp.asarray(self.NPRIME)[:, None]
+        m_cols = self._conv_cols(t_lo, nprime, conv_mat)
         m, _ = self._normalize_low(m_cols, N_LIMBS)  # mod R: drop carry
         # S = T + m*p; low 16 columns vanish mod R; propagate their carry up
-        U = self._conv_cols(m, jnp.asarray(self.P), conv_mat)
+        U = self._conv_cols(m, jnp.asarray(self.P)[:, None], conv_mat)
         S = T + U  # columns < 2^22
         _, low_carry = self._normalize_low(S, N_LIMBS)
-        high = S[..., N_LIMBS:]  # 17 columns
-        high = jnp.concatenate([(high[..., 0] + low_carry)[..., None], high[..., 1:]], axis=-1)
+        high = S[..., N_LIMBS:, :]  # 17 columns
+        high = jnp.concatenate(
+            [(high[..., 0, :] + low_carry)[..., None, :], high[..., 1:, :]], axis=-2
+        )
         t = self._carry(high, N_LIMBS + 1)
         return self._cond_sub_p(t)
 
@@ -359,16 +384,16 @@ class DeviceField:
         return self._mont_mul(a, a)
 
     def _to_mont(self, x: jax.Array) -> jax.Array:
-        return self._mont_mul(x, jnp.asarray(self.R2))
+        return self._mont_mul(x, jnp.asarray(self.R2)[:, None])
 
     def _from_mont(self, x: jax.Array) -> jax.Array:
-        one = jnp.zeros_like(x).at[..., 0].set(1)
+        one = jnp.zeros_like(x).at[..., 0, :].set(1)
         return self._mont_mul(x, one)
 
     # --- scalar-exponent ops ----------------------------------------------------
     def _pow_impl(self, a: jax.Array, bits: jax.Array) -> jax.Array:
         """a^e via lax.scan over MSB-first exponent bits (small compiled graph)."""
-        init = jnp.broadcast_to(jnp.asarray(self.ONE_MONT), a.shape)
+        init = jnp.broadcast_to(jnp.asarray(self.ONE_MONT)[:, None], a.shape)
 
         def body(acc, bit):
             acc = self._mont_mul(acc, acc)
@@ -394,7 +419,7 @@ class DeviceField:
         return self._pow_impl(a, bits)
 
     def _batch_inv(self, a: jax.Array) -> jax.Array:
-        """Montgomery batch inversion along the leading axis: one Fermat inv +
+        """Montgomery batch inversion along the LANE axis: one Fermat inv +
         two log-depth associative product scans (TPU-friendly, no sequential
         O(n) chain).
 
@@ -402,39 +427,59 @@ class DeviceField:
         Zero entries are passed through as zero.
         """
         is_zero = self.is_zero(a)
-        one = jnp.broadcast_to(jnp.asarray(self.ONE_MONT), a.shape)
-        safe = jnp.where(is_zero[..., None], one, a)
+        one = jnp.broadcast_to(jnp.asarray(self.ONE_MONT)[:, None], a.shape)
+        safe = jnp.where(is_zero[..., None, :], one, a)
 
-        prefix_inc = jax.lax.associative_scan(self._mont_mul, safe)  # inclusive
-        suffix_inc = jax.lax.associative_scan(self._mont_mul, safe, reverse=True)
-        total = prefix_inc[-1]
+        lane_ax = safe.ndim - 1
+        prefix_inc = jax.lax.associative_scan(self._mont_mul, safe, axis=lane_ax)
+        suffix_inc = jax.lax.associative_scan(
+            self._mont_mul, safe, axis=lane_ax, reverse=True
+        )
+        total = prefix_inc[..., -1:]
         inv_total = self._inv(total)
         # exclusive prefix / suffix
-        prefix_exc = jnp.concatenate([one[:1], prefix_inc[:-1]], axis=0)
-        suffix_exc = jnp.concatenate([suffix_inc[1:], one[:1]], axis=0)
+        prefix_exc = jnp.concatenate([one[..., :1], prefix_inc[..., :-1]], axis=-1)
+        suffix_exc = jnp.concatenate([suffix_inc[..., 1:], one[..., :1]], axis=-1)
         invs = self._mont_mul(self._mont_mul(prefix_exc, suffix_exc), inv_total)
-        return jnp.where(is_zero[..., None], jnp.zeros_like(a), invs)
+        return jnp.where(is_zero[..., None, :], jnp.zeros_like(a), invs)
 
     # --- predicates ---------------------------------------------------------------
     @staticmethod
     def is_zero(a: jax.Array) -> jax.Array:
-        return jnp.all(a == 0, axis=-1)
+        """[..., 16, B] -> bool [..., B]."""
+        return jnp.all(a == 0, axis=-2)
 
     @staticmethod
     def eq(a: jax.Array, b: jax.Array) -> jax.Array:
-        return jnp.all(a == b, axis=-1)
+        return jnp.all(a == b, axis=-2)
 
     @staticmethod
     def select(cond: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
-        """cond ? a : b, cond shaped like the batch dims."""
-        return jnp.where(cond[..., None], a, b)
+        """cond ? a : b, cond shaped like the element dims [..., B]."""
+        return jnp.where(cond[..., None, :], a, b)
 
     # --- constants ------------------------------------------------------------------
     def zero(self, shape=()) -> jax.Array:
-        return jnp.zeros(shape + (N_LIMBS,), dtype=jnp.uint32)
+        """Zero tensor for element shape `shape` (an int B or a tuple whose
+        last axis is the lane axis); () -> a [16, 1] scalar."""
+        return jnp.zeros(_limb_shape(shape), dtype=jnp.uint32)
 
     def one_mont(self, shape=()) -> jax.Array:
-        return jnp.broadcast_to(jnp.asarray(self.ONE_MONT), shape + (N_LIMBS,))
+        return jnp.broadcast_to(jnp.asarray(self.ONE_MONT)[:, None], _limb_shape(shape))
 
     def const(self, value: int, shape=()) -> jax.Array:
-        return jnp.broadcast_to(self.pack(value), shape + (N_LIMBS,))
+        return jnp.broadcast_to(self.pack(value), _limb_shape(shape))
+
+
+def _limb_shape(shape) -> tuple:
+    """Element shape -> limb-major tensor shape (insert 16 before lanes)."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    if not shape:
+        return (N_LIMBS, 1)
+    return tuple(shape[:-1]) + (N_LIMBS, shape[-1])
+
+
+def _bcast2(a: jax.Array, b: jax.Array):
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    return jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape)

@@ -5,12 +5,13 @@ conversion and extended-domain (coset) quotient computation — the role of the
 radix-2 FFT inside `halo2-axiom`'s `create_proof` (SURVEY.md §2.9).
 
 TPU-first shape choice: Stockham DIF avoids the bit-reversal permutation
-entirely — every stage is a reshape + slice + butterfly (add/sub/mont_mul),
-which XLA maps onto contiguous VPU work with no gathers. Twiddles for all
-stages are strided slices of one length-n/2 table, generated ON DEVICE by a
-log-depth power scan (no O(n) host bigint loops). All transforms accept
-arbitrary leading batch dims — the prover converts every column of a proof
-in ONE dispatch ([C, n, 16] tensors), which matters doubly on remote-tunnel
+entirely — every stage is a slice + butterfly (add/sub/mont_mul) + block
+interleave on the flat LANE axis of limb-major ``[..., 16, N]`` tensors
+(see ops/limbs.py for the layout rationale). Twiddles for all stages are
+strided slices of one length-n/2 table, generated ON DEVICE by a log-depth
+power scan (no O(n) host bigint loops). All transforms accept arbitrary
+leading batch dims — the prover converts every column of a proof in ONE
+dispatch ([C, 16, n] tensors), which matters doubly on remote-tunnel
 backends where each dispatch costs a host round trip.
 
 Multi-chip scaling: the leading stages split across devices and exchange
@@ -22,11 +23,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .limbs import N_LIMBS, DeviceField
+from .limbs import N_LIMBS, DeviceField, _use_pallas
 
 
 # Fixed column-chunk for batched transforms. All batched NTT calls are
-# routed through a lax.map over [CHUNK, n, 16] blocks, so the (large,
+# routed through a lax.map over [CHUNK, 16, n] blocks, so the (large,
 # log n-stage) butterfly graph is traced/compiled ONCE per n — independent
 # of how many columns a circuit has. Without this, every distinct column
 # count is a separate multi-minute XLA compile of an unrolled 15-17 stage
@@ -37,8 +38,8 @@ NTT_CHUNK = 8
 class NTT:
     """NTT/INTT of size 2^log_n over df.field (which must have 2-adicity >= log_n).
 
-    Operates on ``uint32[..., n, 16]`` Montgomery-limb tensors; any leading
-    batch dims are transformed independently in the same dispatch.
+    Operates on ``uint32[..., 16, n]`` Montgomery limb-major tensors; any
+    leading batch dims are transformed independently in the same dispatch.
     """
 
     def __init__(self, df: DeviceField, log_n: int):
@@ -62,31 +63,42 @@ class NTT:
         self._bwd = jax.jit(lambda x: self._mapped(x, False))
 
     def _table(self, forward: bool) -> jax.Array:
-        """[n/2, 16] Montgomery twiddles w^k."""
+        """[16, n/2] Montgomery twiddles w^k."""
         return self._tw[forward]
 
     def _transform(self, x: jax.Array, forward: bool) -> jax.Array:
         """Stockham radix-2 DIF: natural order in, natural order out.
 
-        x: [..., N, 16]; batch dims transform independently.
+        x: [..., 16, N] limb-major; batch dims transform independently.
+        Stage (n, s) with m = n/2: element (i < m, j < s) pairs lanes
+        i*s + j and (m+i)*s + j — the two contiguous lane halves — and the
+        interleave writes top/bot back at block granularity s.
         """
         df = self.df
         N = self.n
         tw = self._table(forward)
         batch = x.shape[:-2]
-        x = x.reshape(batch + (N, 1, N_LIMBS))
         n, s = N, 1
         while n > 1:
             m = n // 2
-            a, b = x[..., :m, :, :], x[..., m:, :, :]
-            # stage twiddles w^(p * N/n), p < m — a strided slice of the table
-            wp = tw[:: N // n][:m]  # [m, N_LIMBS]
-            top, bot = _butterfly(df, a, b, wp[:, None, :])
-            x = jnp.concatenate(
-                [top[..., None, :, :], bot[..., None, :, :]], axis=-3
-            ).reshape(batch + (m, 2 * s, N_LIMBS))
+            half = N // 2
+            a, b = x[..., :half], x[..., half:]
+            # stage twiddles w^(p * N/n), p < m — strided slice of the table,
+            # each repeated s times along lanes (broadcast + reshape)
+            wp = tw[:, :: N // n][:, :m]  # [16, m]
+            if s > 1:
+                wp = jnp.broadcast_to(wp[:, :, None], (N_LIMBS, m, s)).reshape(
+                    N_LIMBS, half
+                )
+            top, bot = _butterfly(df, a, b, wp)
+            # interleave s-blocks: out[.., i*2s + parity*s + j] for parity 0/1
+            stacked = jnp.stack(
+                [top.reshape(batch + (N_LIMBS, m, s)), bot.reshape(batch + (N_LIMBS, m, s))],
+                axis=-2,
+            )  # [..., 16, m, 2, s]
+            x = stacked.reshape(batch + (N_LIMBS, N))
             n, s = m, 2 * s
-        return x.reshape(batch + (N, N_LIMBS))
+        return x
 
     def _mapped(self, x: jax.Array, forward: bool) -> jax.Array:
         """Run the transform over fixed-size column chunks (see NTT_CHUNK)."""
@@ -115,10 +127,24 @@ class NTT:
         return self.df.mont_mul(out, self.n_inv_mont)
 
 
+def new_ntt(df: DeviceField, log_n: int):
+    """NTT factory: MXU digit-matmul transform on TPU (ops/ntt_mxu.py),
+    Stockham radix-2 elsewhere. Both are bit-exact and API-compatible."""
+    import os
+
+    if (
+        _use_pallas()
+        and log_n >= 6
+        and os.environ.get("HALO2_NO_MXU_NTT") != "1"
+    ):
+        from .ntt_mxu import MxuNTT
+
+        return MxuNTT(df, log_n)
+    return NTT(df, log_n)
+
+
 def _butterfly(df: DeviceField, a, b, w):
     """(a + b, (a - b) * w); fused pallas kernel on TPU, XLA elsewhere."""
-    from .limbs import _use_pallas
-
     if _use_pallas():
         from .pallas_field import ntt_butterfly
 
@@ -127,13 +153,15 @@ def _butterfly(df: DeviceField, a, b, w):
 
 
 def _pows_device(df: DeviceField, root: int, m: int) -> jax.Array:
-    """[m, 16] Montgomery powers 1, root, ..., root^{m-1} via log-depth scan."""
-    one = jnp.asarray(df.ONE_MONT)
+    """[16, m] Montgomery powers 1, root, ..., root^{m-1} via log-depth scan."""
+    one = jnp.asarray(df.ONE_MONT)[:, None]
     if m == 1:
-        return one[None]
-    base = jnp.broadcast_to(df.pack(root), (m, N_LIMBS))
-    stacked = jnp.concatenate([one[None], base[:-1]], axis=0)
-    return jax.jit(lambda v: jax.lax.associative_scan(df._mont_mul, v))(stacked)
+        return one
+    base = jnp.broadcast_to(df.pack(root), (N_LIMBS, m))
+    stacked = jnp.concatenate([one, base[:, :-1]], axis=1)
+    return jax.jit(
+        lambda v: jax.lax.associative_scan(df._mont_mul, v, axis=1)
+    )(stacked)
 
 
 class CosetNTT:
@@ -146,7 +174,7 @@ class CosetNTT:
     """
 
     def __init__(self, df: DeviceField, log_n: int, shift: int):
-        self.ntt = NTT(df, log_n)
+        self.ntt = new_ntt(df, log_n)
         self.df = df
         p = df.field.p
         n = 1 << log_n

@@ -1,13 +1,17 @@
 """Pallas TPU kernels: fused Montgomery field mul + complete EC point add.
 
-Why these exist: the generic XLA path stores field elements as
-``uint32[..., 16]`` — the 16-limb axis lands in the TPU's 128-wide lane
-dimension, so every vector op wastes 112/128 lanes, and the 16-step
-shift-accumulate convolution round-trips HBM between steps. These kernels
-load a block of elements into VMEM once, transpose to limb-major
-``[16, BLK]`` (limbs on sublanes, batch on lanes — full lane utilization),
-run the entire SOS Montgomery multiply (or the whole complete Jacobian
-add: 23 fused multiplies) out of VMEM, and write the result once.
+Why these exist: 254-bit field math decomposes into ~10^2 small u32 ops per
+element; left to XLA each op is its own HBM round trip. These kernels load a
+block of elements into VMEM once, run the entire SOS Montgomery multiply
+(or the whole complete Jacobian add: 23 fused multiplies) out of VMEM, and
+write the result once.
+
+Layout contract (matches ops/limbs.py): tensors are limb-major
+``uint32[..., 16, B]`` — limbs on sublanes, elements on lanes. Blocks are
+therefore DENSE (8,128) tiles: a (16, 8192) block is 512 KB of VMEM with
+zero padding, so one grid step carries 8192 elements and the ~10 us/step
+grid overhead amortizes away. (The limbs-minor layout would pad 16 -> 128
+lanes: 8x the VMEM and DMA for the same elements, forcing 8x more steps.)
 
 Replaces the hot inner loops of `halo2curves-axiom` field/curve arithmetic
 in the reference backend (SURVEY.md §2.9) on the TPU path; the XLA
@@ -18,13 +22,13 @@ tests/test_pallas_field.py via interpret mode.
 Algorithm notes
 ---------------
 * Convolution: ``cols[i+j] += lo(a_i*b_j)``, ``cols[i+j+1] += hi(a_i*b_j)``
-  done as 16 static sublane rolls of a zero-padded ``[32, BLK]`` product
-  block accumulated into ``[40, BLK]`` (40 = 5 sublane tiles). Column sums
+  done as 16 static sublane rolls of a zero-padded ``[32, B]`` product
+  block accumulated into ``[40, B]`` (40 = 5 sublane tiles). Column sums
   stay < 2^22, safe in uint32 lanes.
 * Carry chains are the only sequential parts: 16 (resp. 17) row steps of
-  mask/shift. Rows are ``[1, BLK]`` — sublane-thin but lane-full.
+  mask/shift. Rows are ``[1, B]`` — sublane-thin but lane-full.
 * The EC add groups its 23 Montgomery multiplies into 6 stacked rounds
-  ``[G, 16, BLK]`` exactly like ops/ec_device.py's XLA path, so the VPU
+  ``[G, 16, B]`` exactly like ops/ec_device.py's XLA path, so the VPU
   sees few, fat ops.
 """
 
@@ -47,8 +51,16 @@ try:  # pallas is TPU/interpret-only; keep import soft for exotic builds
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-# Lane width of one block: batch elements per kernel program.
-BLK = 512
+# Lane width of one block: elements per kernel program. (16, BLK) u32 blocks
+# are 512 KB — big enough that grid-step overhead is negligible, small
+# enough that multi-operand kernels double-buffer comfortably in 16 MB VMEM.
+# EC kernels keep ~25 live [16, B] temporaries (stacked multiply rounds +
+# two 40-row convolution accumulators), so they run narrower blocks.
+BLK = 8192
+BLK_EC = 2048
+# Minimum lane padding granule (one (8,128) tile row is 128 lanes; 512 keeps
+# DMA descriptors fat for small inputs).
+_LANE_PAD = 512
 _COLS = 2 * N_LIMBS + 1  # 33 product columns
 _CPAD = 40  # padded to a multiple of 8 sublanes
 
@@ -58,7 +70,7 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift, axis) if shift else x
 
 
-# --- in-kernel field helpers (values are uint32[..., 16|40, BLK]) ----------
+# --- in-kernel field helpers (values are uint32[..., 16|40, B]) ----------
 
 
 def _conv(at, bt):
@@ -194,11 +206,7 @@ def _consts_for(df: DeviceField):
 
 
 def _mm_kernel(a_ref, b_ref, o_ref, *, df: DeviceField):
-    nprime, p_rows, p17 = _consts_for(df)
-    at = a_ref[:].T  # [16, BLK]
-    bt = b_ref[:].T
-    out = _mont_mul_t(at, bt, (nprime, p_rows, p17))
-    o_ref[:] = out.T
+    o_ref[:] = _mont_mul_t(a_ref[:], b_ref[:], _consts_for(df))
 
 
 def _ec_add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, df: DeviceField):
@@ -206,10 +214,10 @@ def _ec_add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, df: DeviceField):
     (same add-2007-bl + doubling-branch structure and case selects)."""
     nprime, p_rows, p17 = _consts_for(df)
     consts = (nprime, p_rows, p17)
-    st = lambda *xs: jnp.stack(xs, axis=0)  # [G, 16, BLK]
+    st = lambda *xs: jnp.stack(xs, axis=0)  # [G, ..., 16, B]
 
-    X1, Y1, Z1 = x1[:].T, y1[:].T, z1[:].T
-    X2, Y2, Z2 = x2[:].T, y2[:].T, z2[:].T
+    X1, Y1, Z1 = x1[:], y1[:], z1[:]
+    X2, Y2, Z2 = x2[:], y2[:], z2[:]
 
     r1 = _mont_mul_t(st(Z1, Z2, X1, Y1), st(Z1, Z2, X1, Y1), consts)
     Z1Z1, Z2Z2, A, B = r1[0], r1[1], r1[2], r1[3]
@@ -255,21 +263,19 @@ def _ec_add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, df: DeviceField):
     Y3 = jnp.where(p2_inf, Y1, jnp.where(p1_inf, Y2, Y3))
     Z3 = jnp.where(p2_inf, Z1, jnp.where(p1_inf, Z2, Z3))
 
-    ox[:] = X3.T
-    oy[:] = Y3.T
-    oz[:] = Z3.T
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
 
 
-def _ec_madd_kernel(x1, y1, z1, x2, y2, ox, oy, oz, *, df: DeviceField, distinct: bool):
-    """Mixed Jacobian + affine add (madd-2007-bl), mirroring
-    ops/ec_device.py::DeviceCurve._madd_xla. Affine identity = (0,0) sentinel;
-    `distinct` drops the doubling branch (sound for SRS bases)."""
-    nprime, p_rows, p17 = _consts_for(df)
-    consts = (nprime, p_rows, p17)
+def _madd_core(X1, Y1, Z1, X2, Y2, consts, distinct: bool, df: DeviceField):
+    """Mixed Jacobian + affine add on limb-major [..., 16, B] values
+    (madd-2007-bl), mirroring ops/ec_device.py::DeviceCurve._madd_xla.
+    Affine identity = (0,0) sentinel; `distinct` drops the doubling branch
+    (sound for SRS bases). Shared by the standalone madd kernel and the
+    fused MSM bucket-accumulation scan kernel."""
+    nprime, p_rows, p17 = consts
     st = lambda *xs: jnp.stack(xs, axis=0)
-
-    X1, Y1, Z1 = x1[:].T, y1[:].T, z1[:].T
-    X2, Y2 = x2[:].T, y2[:].T
 
     if distinct:
         Z1Z1 = _mont_mul_t(Z1, Z1, consts)
@@ -326,15 +332,24 @@ def _ec_madd_kernel(x1, y1, z1, x2, y2, ox, oy, oz, *, df: DeviceField, distinct
     X3 = jnp.where(~live, X1, X3)
     Y3 = jnp.where(~live, Y1, Y3)
     Z3 = jnp.where(~live, Z1, Z3)
+    return X3, Y3, Z3
 
-    ox[:] = X3.T
-    oy[:] = Y3.T
-    oz[:] = Z3.T
+
+def _ec_madd_kernel(x1, y1, z1, x2, y2, ox, oy, oz, *, df: DeviceField, distinct: bool):
+    """Standalone mixed-add kernel on (16, BLK) blocks (see _madd_core)."""
+    consts = _consts_for(df)
+    X3, Y3, Z3 = _madd_core(x1[:], y1[:], z1[:], x2[:], y2[:], consts, distinct, df)
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
 
 
 def _int_to_rows(v: int, shape):
     """Compile-time int -> limb-major [..., 16, B] constant rows."""
-    rows = [jnp.full(shape[:-2] + (1,) + shape[-1:], (v >> (LIMB_BITS * i)) & MASK, jnp.uint32) for i in range(N_LIMBS)]
+    rows = [
+        jnp.full(shape[:-2] + (1,) + shape[-1:], (v >> (LIMB_BITS * i)) & MASK, jnp.uint32)
+        for i in range(N_LIMBS)
+    ]
     return jnp.concatenate(rows, axis=-2)
 
 
@@ -343,7 +358,7 @@ def _ec_double_kernel(x1, y1, z1, ox, oy, oz, *, df: DeviceField):
     nprime, p_rows, p17 = _consts_for(df)
     consts = (nprime, p_rows, p17)
     st = lambda *xs: jnp.stack(xs, axis=0)
-    X, Y, Z = x1[:].T, y1[:].T, z1[:].T
+    X, Y, Z = x1[:], y1[:], z1[:]
     r1 = _mont_mul_t(st(X, Y), st(X, Y), consts)
     A, B = r1[0], r1[1]
     E = _add_f(_dbl_f(A, p17), A, p17)
@@ -356,164 +371,221 @@ def _ec_double_kernel(x1, y1, z1, ox, oy, oz, *, df: DeviceField):
     C4 = _dbl_f(_dbl_f(C, p17), p17)
     Y3 = _sub_f(r3[0], _dbl_f(C4, p17), p_rows)
     Z3 = _dbl_f(r3[1], p17)
-    ox[:] = X3.T
-    oy[:] = Y3.T
-    oz[:] = Z3.T
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
 
 
 # --- host-callable wrappers ---------------------------------------------------
 #
-# Size bucketing: each pallas_call specializes on its grid size, and a Mosaic
-# EC-kernel compile costs ~10-25 s on remote TPU backends. Wrappers therefore
-# pad the flattened batch up to the next power-of-two multiple of BLK — at
-# most 2x padded work, but the number of compiled kernel variants collapses
-# from "one per distinct tensor size in the prover" to <= log2(max_n/BLK) per
-# kernel body (and the persistent cache makes even those one-time). Zero
-# padding is semantically inert for every kernel here: zero limbs are the
-# field 0, the Jacobian identity (Z=0), and the dead affine sentinel (0,0).
+# Wrappers flatten all leading (non-limb) axes into lanes-plus-grid: a
+# [..., 16, B] tensor becomes [L, 16, B] with grid (L, B/blk) and dense
+# (1, 16, blk) blocks. Lane counts are padded up to a power-of-two multiple
+# of _LANE_PAD so the number of compiled kernel variants stays logarithmic
+# (zero padding is semantically inert: zero limbs are the field 0, the
+# Jacobian identity (Z=0), and the dead affine sentinel (0,0)).
 
 
 def _bucket(n: int) -> int:
-    b = BLK
+    b = _LANE_PAD
     while b < n:
         b *= 2
     return b
 
 
-def _pad_flat(t, nb: int):
-    n = t.shape[0]
-    return t if n == nb else jnp.pad(t, ((0, nb - n), (0, 0)))
+def _prep_args(args, shape=None, max_blk=BLK):
+    """Broadcast + flatten [..., 16, B] operands to [L, 16, BP]; returns
+    (flattened args, element shape, L, BP, blk)."""
+    if shape is None:
+        shape = jnp.broadcast_shapes(*(a.shape for a in args))
+    args = [jnp.broadcast_to(a, shape) for a in args]
+    B = shape[-1]
+    lead = shape[:-2]
+    L = 1
+    for d in lead:
+        L *= d
+    BP = _bucket(B)
+    out = []
+    for a in args:
+        a = a.reshape((L, N_LIMBS, B))
+        if BP != B:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, BP - B)))
+        out.append(a)
+    blk = min(BP, max_blk)
+    return out, shape, L, BP, blk
 
 
-def _vspec():
-    return pl.BlockSpec((BLK, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _bspec(blk):
+    return pl.BlockSpec((1, N_LIMBS, blk), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM)
 
 
 @functools.lru_cache(maxsize=None)
-def _mm_call(p_int: int, n: int, interpret: bool):
+def _mm_call(p_int: int, L: int, BP: int, blk: int, interpret: bool):
     from ..utils.fields import PrimeField
 
     df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
     return pl.pallas_call(
         functools.partial(_mm_kernel, df=df),
-        out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
-        grid=(n // BLK,),
-        in_specs=[_vspec(), _vspec()],
-        out_specs=_vspec(),
+        out_shape=jax.ShapeDtypeStruct((L, N_LIMBS, BP), jnp.uint32),
+        grid=(L, BP // blk),
+        in_specs=[_bspec(blk), _bspec(blk)],
+        out_specs=_bspec(blk),
         interpret=interpret,
     )
-
-
-@functools.lru_cache(maxsize=None)
-def _ec_add_call(p_int: int, n: int, interpret: bool):
-    from ..utils.fields import PrimeField
-
-    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
-    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
-    return pl.pallas_call(
-        functools.partial(_ec_add_kernel, df=df),
-        out_shape=(shape, shape, shape),
-        grid=(n // BLK,),
-        in_specs=[_vspec()] * 6,
-        out_specs=(_vspec(), _vspec(), _vspec()),
-        interpret=interpret,
-    )
-
-
-@functools.lru_cache(maxsize=None)
-def _ec_double_call(p_int: int, n: int, interpret: bool):
-    from ..utils.fields import PrimeField
-
-    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
-    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
-    return pl.pallas_call(
-        functools.partial(_ec_double_kernel, df=df),
-        out_shape=(shape, shape, shape),
-        grid=(n // BLK,),
-        in_specs=[_vspec()] * 3,
-        out_specs=(_vspec(), _vspec(), _vspec()),
-        interpret=interpret,
-    )
-
-
-def _flatten(t):
-    return t.reshape(-1, N_LIMBS)
 
 
 def mont_mul(df: DeviceField, a, b, interpret: bool = False):
-    """Pallas Montgomery product (bucket-padded; see bucketing note above)."""
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    n = int(np.prod(shape)) if shape else 1
-    if n == 0:
-        return jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
-    a = jnp.broadcast_to(a, shape + (N_LIMBS,))
-    b = jnp.broadcast_to(b, shape + (N_LIMBS,))
-    nb = _bucket(n)
-    out = _mm_call(df.p_int, nb, interpret)(
-        _pad_flat(_flatten(a), nb), _pad_flat(_flatten(b), nb)
-    )
-    return out[:n].reshape(shape + (N_LIMBS,))
-
-
-def ec_add(dc, P1, P2, interpret: bool = False):
-    """Pallas complete Jacobian add over flattened batch dims."""
-    shape = jnp.broadcast_shapes(P1[0].shape[:-1], P2[0].shape[:-1])
-    n = int(np.prod(shape)) if shape else 1
-    if n == 0:
-        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
-        return (z, z, z)
-    nb = _bucket(n)
-    args = [
-        _pad_flat(_flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))), nb)
-        for t in (*P1, *P2)
-    ]
-    outs = _ec_add_call(dc.df.p_int, nb, interpret)(*args)
-    return tuple(t[:n].reshape(shape + (N_LIMBS,)) for t in outs)
+    """Pallas Montgomery product on limb-major [..., 16, B] operands."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    if 0 in shape:
+        return jnp.zeros(shape, jnp.uint32)
+    (af, bf), shape, L, BP, blk = _prep_args([a, b], shape)
+    out = _mm_call(df.p_int, L, BP, blk, interpret)(af, bf)
+    return out[..., : shape[-1]].reshape(shape)
 
 
 @functools.lru_cache(maxsize=None)
-def _ec_madd_call(p_int: int, n: int, distinct: bool, interpret: bool):
+def _ec_call(p_int: int, kind: str, L: int, BP: int, blk: int, interpret: bool, distinct: bool = False):
     from ..utils.fields import PrimeField
 
     df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
-    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+    shape = jax.ShapeDtypeStruct((L, N_LIMBS, BP), jnp.uint32)
+    if kind == "add":
+        kern, nin, nout = functools.partial(_ec_add_kernel, df=df), 6, 3
+    elif kind == "madd":
+        kern, nin, nout = functools.partial(_ec_madd_kernel, df=df, distinct=distinct), 5, 3
+    else:
+        kern, nin, nout = functools.partial(_ec_double_kernel, df=df), 3, 3
     return pl.pallas_call(
-        functools.partial(_ec_madd_kernel, df=df, distinct=distinct),
-        out_shape=(shape, shape, shape),
-        grid=(n // BLK,),
-        in_specs=[_vspec()] * 5,
-        out_specs=(_vspec(), _vspec(), _vspec()),
+        kern,
+        out_shape=(shape,) * nout,
+        grid=(L, BP // blk),
+        in_specs=[_bspec(blk)] * nin,
+        out_specs=(_bspec(blk),) * nout,
         interpret=interpret,
     )
 
 
-def ec_madd(dc, P1, A2, distinct: bool, interpret: bool = False):
-    """Pallas mixed Jacobian+affine add over flattened batch dims."""
-    shape = jnp.broadcast_shapes(P1[0].shape[:-1], A2[0].shape[:-1])
-    n = int(np.prod(shape)) if shape else 1
-    if n == 0:
-        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+def ec_add(dc, P1, P2, interpret: bool = False):
+    """Pallas complete Jacobian add on limb-major coordinate tensors."""
+    shape = jnp.broadcast_shapes(*(t.shape for t in (*P1, *P2)))
+    if 0 in shape:
+        z = jnp.zeros(shape, jnp.uint32)
         return (z, z, z)
-    nb = _bucket(n)
-    args = [
-        _pad_flat(_flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))), nb)
-        for t in (*P1, *A2)
-    ]
-    outs = _ec_madd_call(dc.df.p_int, nb, distinct, interpret)(*args)
-    return tuple(t[:n].reshape(shape + (N_LIMBS,)) for t in outs)
+    args, shape, L, BP, blk = _prep_args([*P1, *P2], shape, BLK_EC)
+    outs = _ec_call(dc.df.p_int, "add", L, BP, blk, interpret)(*args)
+    return tuple(t[..., : shape[-1]].reshape(shape) for t in outs)
+
+
+def ec_madd(dc, P1, A2, distinct: bool, interpret: bool = False):
+    """Pallas mixed Jacobian+affine add on limb-major coordinate tensors."""
+    shape = jnp.broadcast_shapes(*(t.shape for t in (*P1, *A2)))
+    if 0 in shape:
+        z = jnp.zeros(shape, jnp.uint32)
+        return (z, z, z)
+    args, shape, L, BP, blk = _prep_args([*P1, *A2], shape, BLK_EC)
+    outs = _ec_call(dc.df.p_int, "madd", L, BP, blk, interpret, distinct)(*args)
+    return tuple(t[..., : shape[-1]].reshape(shape) for t in outs)
 
 
 def ec_double(dc, P, interpret: bool = False):
-    """Pallas Jacobian doubling over flattened batch dims."""
-    shape = P[0].shape[:-1]
-    n = int(np.prod(shape)) if shape else 1
-    if n == 0:
-        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+    """Pallas Jacobian doubling on limb-major coordinate tensors."""
+    shape = P[0].shape
+    if 0 in shape:
+        z = jnp.zeros(shape, jnp.uint32)
         return (z, z, z)
-    nb = _bucket(n)
-    args = [_pad_flat(_flatten(t), nb) for t in P]
-    outs = _ec_double_call(dc.df.p_int, nb, interpret)(*args)
-    return tuple(t[:n].reshape(shape + (N_LIMBS,)) for t in outs)
+    args, shape, L, BP, blk = _prep_args(list(P), shape, BLK_EC)
+    outs = _ec_call(dc.df.p_int, "double", L, BP, blk, interpret)(*args)
+    return tuple(t[..., : shape[-1]].reshape(shape) for t in outs)
+
+
+# --- fused MSM bucket-accumulation scan ---------------------------------------
+#
+# The MSM's bucket accumulation is an inclusive segmented scan of mixed EC
+# adds over bucket-sorted points: CL independent lane-chains of R steps per
+# window. As an XLA lax.scan this costs one kernel launch (plus HBM
+# round-trips for the accumulator) PER STEP. This kernel runs the whole
+# R-step scan in one pallas_call: accumulators live in VMEM scratch across
+# sequential grid steps, each step consumes one (W_BLK, 32, CL) block of
+# sorted points and writes the inclusive values.
+
+_MSM_W_BLK = 4  # windows per kernel program
+
+
+def _bucket_scan_kernel(axy_ref, st_ref, out_ref, accx, accy, accz, *, df, distinct, w_blk, cl):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        accx[:] = jnp.zeros_like(accx)
+        accy[:] = jnp.zeros_like(accy)
+        accz[:] = jnp.zeros_like(accz)
+
+    at = axy_ref[:].reshape(w_blk, 2 * N_LIMBS, cl)
+    x2 = at[:, :N_LIMBS, :]
+    y2 = at[:, N_LIMBS:, :]
+    start = st_ref[:].reshape(w_blk, 1, cl) != 0
+    # reset the accumulator at segment starts (identity = all-zero, Z=0)
+    X1 = jnp.where(start, jnp.uint32(0), accx[:])
+    Y1 = jnp.where(start, jnp.uint32(0), accy[:])
+    Z1 = jnp.where(start, jnp.uint32(0), accz[:])
+    X3, Y3, Z3 = _madd_core(X1, Y1, Z1, x2, y2, _consts_for(df), distinct, df)
+    accx[:] = X3
+    accy[:] = Y3
+    accz[:] = Z3
+    out_ref[:] = jnp.concatenate([X3, Y3, Z3], axis=1).reshape(
+        w_blk, 1, 3 * N_LIMBS, cl
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_scan_call(p_int: int, wb: int, R: int, cl: int, distinct: bool, interpret: bool):
+    from ..utils.fields import PrimeField
+
+    df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
+    w_blk = _MSM_W_BLK
+    while wb % w_blk:
+        w_blk //= 2
+    grid = (wb // w_blk, R)
+    return pl.pallas_call(
+        functools.partial(
+            _bucket_scan_kernel, df=df, distinct=distinct, w_blk=w_blk, cl=cl
+        ),
+        out_shape=jax.ShapeDtypeStruct((wb, R, 3 * N_LIMBS, cl), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (w_blk, 1, 2 * N_LIMBS, cl),
+                lambda w, r: (w, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (w_blk, 1, 1, cl), lambda w, r: (w, r, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (w_blk, 1, 3 * N_LIMBS, cl), lambda w, r: (w, r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((w_blk, N_LIMBS, cl), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+
+
+def bucket_scan(dc, axy_sorted, seg_start, cl: int, distinct: bool, interpret: bool = False):
+    """Inclusive segmented mixed-add scan for MSM bucket accumulation.
+
+    axy_sorted: uint32[Wb, R, 32, CL] — bucket-sorted affine points (x over
+    y limb-major rows, Montgomery; (0,0) = dead slot), laid out so sorted
+    position ``lane*R + r`` sits at [w, r, :, lane]. seg_start:
+    int32[Wb, R, CL] nonzero at segment (bucket-run) starts. Returns
+    uint32[Wb, R, 48, CL]: the inclusive scan value (x|y|z limb-major rows)
+    after absorbing each position.
+    """
+    wb, R, _, cl_in = axy_sorted.shape
+    assert cl_in == cl
+    return _bucket_scan_call(dc.df.p_int, wb, R, cl, distinct, interpret)(
+        axy_sorted, seg_start.reshape(wb, R, 1, cl)
+    )
 
 
 # --- NTT butterfly ------------------------------------------------------------
@@ -522,88 +594,74 @@ def ec_double(dc, P, interpret: bool = False):
 def _butterfly_kernel(a_ref, b_ref, w_ref, top_ref, bot_ref, *, df: DeviceField):
     """One Stockham stage step: top = a + b, bot = (a - b) * w (fused)."""
     nprime, p_rows, p17 = _consts_for(df)
-    at = a_ref[:].T
-    bt = b_ref[:].T
-    wt = w_ref[:].T
-    top_ref[:] = _add_f(at, bt, p17).T
-    bot_ref[:] = _mont_mul_t(_sub_f(at, bt, p_rows), wt, (nprime, p_rows, p17)).T
+    at = a_ref[:]
+    bt = b_ref[:]
+    wt = w_ref[:]
+    top_ref[:] = _add_f(at, bt, p17)
+    bot_ref[:] = _mont_mul_t(_sub_f(at, bt, p_rows), wt, (nprime, p_rows, p17))
 
 
 @functools.lru_cache(maxsize=None)
-def _butterfly_call(p_int: int, n: int, interpret: bool):
+def _butterfly_call(p_int: int, L: int, BP: int, blk: int, interpret: bool):
     from ..utils.fields import PrimeField
 
     df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
-    shape = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+    shape = jax.ShapeDtypeStruct((L, N_LIMBS, BP), jnp.uint32)
     return pl.pallas_call(
         functools.partial(_butterfly_kernel, df=df),
         out_shape=(shape, shape),
-        grid=(n // BLK,),
-        in_specs=[_vspec()] * 3,
-        out_specs=(_vspec(), _vspec()),
+        grid=(L, BP // blk),
+        in_specs=[_bspec(blk)] * 3,
+        out_specs=(_bspec(blk), _bspec(blk)),
         interpret=interpret,
     )
 
 
 def ntt_butterfly(df: DeviceField, a, b, w, interpret: bool = False):
-    """(a + b, (a - b) * w) fused over flattened batch dims."""
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1], w.shape[:-1])
-    n = int(np.prod(shape)) if shape else 1
-    if n == 0:
-        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+    """(a + b, (a - b) * w) fused, limb-major operands."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape, w.shape)
+    if 0 in shape:
+        z = jnp.zeros(shape, jnp.uint32)
         return (z, z)
-    nb = _bucket(n)
-    args = [
-        _pad_flat(_flatten(jnp.broadcast_to(t, shape + (N_LIMBS,))), nb)
-        for t in (a, b, w)
-    ]
-    top, bot = _butterfly_call(df.p_int, nb, interpret)(*args)
-    return top[:n].reshape(shape + (N_LIMBS,)), bot[:n].reshape(shape + (N_LIMBS,))
+    args, shape, L, BP, blk = _prep_args([a, b, w], shape)
+    top, bot = _butterfly_call(df.p_int, L, BP, blk, interpret)(*args)
+    B = shape[-1]
+    return top[..., :B].reshape(shape), bot[..., :B].reshape(shape)
 
 
 # --- elementwise field add/sub ------------------------------------------------
-# The XLA [..., 16] limb layout pads the 16-wide lane axis to 128 on TPU, so
-# every XLA elementwise field op moves 8x the bytes (and per-limb carry-chain
-# temps [n, 1] pad 128x). For large tensors the VMEM-fused pallas kernels with
-# limb-major [16, BLK] blocks are both smaller and faster; DeviceField
-# dispatches here above a size threshold (ops/limbs.py).
 
 
 def _field_add_kernel(a_ref, b_ref, o_ref, *, df: DeviceField):
     _, _, p17 = _consts_for(df)
-    o_ref[:] = _add_f(a_ref[:].T, b_ref[:].T, p17).T
+    o_ref[:] = _add_f(a_ref[:], b_ref[:], p17)
 
 
 def _field_sub_kernel(a_ref, b_ref, o_ref, *, df: DeviceField):
     _, p_rows, _ = _consts_for(df)
-    o_ref[:] = _sub_f(a_ref[:].T, b_ref[:].T, p_rows).T
+    o_ref[:] = _sub_f(a_ref[:], b_ref[:], p_rows)
 
 
 @functools.lru_cache(maxsize=None)
-def _field_addsub_call(p_int: int, n: int, is_add: bool, interpret: bool):
+def _field_addsub_call(p_int: int, L: int, BP: int, blk: int, is_add: bool, interpret: bool):
     from ..utils.fields import PrimeField
 
     df = DeviceField(PrimeField(p_int, f"f{p_int % 100000}"))
     kern = _field_add_kernel if is_add else _field_sub_kernel
     return pl.pallas_call(
         functools.partial(kern, df=df),
-        out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
-        grid=(n // BLK,),
-        in_specs=[_vspec(), _vspec()],
-        out_specs=_vspec(),
+        out_shape=jax.ShapeDtypeStruct((L, N_LIMBS, BP), jnp.uint32),
+        grid=(L, BP // blk),
+        in_specs=[_bspec(blk), _bspec(blk)],
+        out_specs=_bspec(blk),
         interpret=interpret,
     )
 
 
 def field_addsub(df: DeviceField, a, b, is_add: bool, interpret: bool = False):
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    n = int(np.prod(shape)) if shape else 1
-    if n == 0:
-        return jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
-    a = jnp.broadcast_to(a, shape + (N_LIMBS,))
-    b = jnp.broadcast_to(b, shape + (N_LIMBS,))
-    nb = _bucket(n)
-    out = _field_addsub_call(df.p_int, nb, is_add, interpret)(
-        _pad_flat(_flatten(a), nb), _pad_flat(_flatten(b), nb)
-    )
-    return out[:n].reshape(shape + (N_LIMBS,))
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    if 0 in shape:
+        return jnp.zeros(shape, jnp.uint32)
+    (af, bf), shape, L, BP, blk = _prep_args([a, b], shape)
+    out = _field_addsub_call(df.p_int, L, BP, blk, is_add, interpret)(af, bf)
+    return out[..., : shape[-1]].reshape(shape)

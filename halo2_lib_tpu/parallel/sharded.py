@@ -2,15 +2,16 @@
 
 The reference is a single-process rayon library (SURVEY.md §2.4); its TPU
 equivalent is a `jax.sharding.Mesh` with XLA collectives over ICI:
-  * MSM: points + scalar digits sharded over the `dp` axis; each device runs a
+  * MSM: points + scalar bits sharded over the `dp` axis; each device runs a
     local batched double-and-add accumulation, partial sums are all_gather'd
     (3 tiny limb tensors) and tree-combined on every device (replicated).
   * NTT: the four-step decomposition — view the length-N vector as [N1, N2]
     with columns sharded; local size-N1 NTTs, twiddle scaling, then an
     all_to_all transpose so the size-N2 NTTs are local again.
 
-These run identically on a virtual CPU mesh (tests / driver dry-run) and a
-real TPU slice.
+Tensors are limb-major uint32[..., 16, B] (ops/limbs.py). These run
+identically on a virtual CPU mesh (tests / driver dry-run) and a real TPU
+slice.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.ec_device import DeviceCurve
-from ..ops.limbs import N_LIMBS, DeviceField, _int_to_limbs
+from ..ops.limbs import N_LIMBS, DeviceField
 from ..utils.fields import FR_BN254
 
 
@@ -54,7 +55,7 @@ def sharded_msm(dc: DeviceCurve, points, scalars: list[int], mesh: Mesh):
     pad = (-n) % ndev
     points = list(points) + [None] * pad
     scalars = list(scalars) + [0] * pad
-    Ppts = dc.pack_points(points)
+    Ppts = dc.pack_points(points)  # (X, Y, Z) uint32[16, n]
     nbits = dc.curve.scalar.num_bits
     bits = np.zeros((nbits, len(points)), dtype=bool)
     for i, s in enumerate(scalars):
@@ -67,14 +68,13 @@ def sharded_msm(dc: DeviceCurve, points, scalars: list[int], mesh: Mesh):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None), P(None, axis, None), P(None, axis)),
+        in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
         out_specs=P(None, None, None),
         check_rep=False,
     )
     def run(X, Y, Z, bits_shard):
-        m = X.shape[1]
-        acc = dc.identity((m,))
-        P0 = (X[0], Y[0], Z[0])
+        acc = dc.identity((X.shape[-1],))
+        P0 = (X, Y, Z)
 
         # batched MSB-first double-and-add: acc_i = 2*acc_i + (bit ? P_i : O)
         def body(acc, brow):
@@ -85,32 +85,21 @@ def sharded_msm(dc: DeviceCurve, points, scalars: list[int], mesh: Mesh):
 
         acc, _ = jax.lax.scan(body, acc, bits_shard)
         # local tree reduce to one point, then all_gather across devices
-        x, y, z = acc
-        while x.shape[0] > 1:
-            half = x.shape[0] // 2
-            rem = x.shape[0] - 2 * half
-            s = dc._add((x[:half], y[:half], z[:half]), (x[half : 2 * half], y[half : 2 * half], z[half : 2 * half]))
-            if rem:
-                x = jnp.concatenate([s[0], x[2 * half :]], 0)
-                y = jnp.concatenate([s[1], y[2 * half :]], 0)
-                z = jnp.concatenate([s[2], z[2 * half :]], 0)
-            else:
-                x, y, z = s
-        gx = jax.lax.all_gather(x[0], axis)  # [ndev, 16]
-        gy = jax.lax.all_gather(y[0], axis)
-        gz = jax.lax.all_gather(z[0], axis)
+        x, y, z = dc.tree_reduce(acc)  # [16, 1] each
+        gx = jax.lax.all_gather(x, axis)  # [ndev, 16, 1]
+        gy = jax.lax.all_gather(y, axis)
+        gz = jax.lax.all_gather(z, axis)
+
         # combine the ndev partials (replicated work, tiny; fori keeps the
         # EC-add graph instantiated once)
         def comb(d, p):
             return dc._add(p, (gx[d], gy[d], gz[d]))
 
         px, py, pz = jax.lax.fori_loop(1, gx.shape[0], comb, (gx[0], gy[0], gz[0]))
-        return jnp.stack([px, py, pz])[None]
+        return jnp.stack([px, py, pz])  # [3, 16, 1]
 
-    # X/Y/Z: [n, 16] -> add leading singleton so in_spec can shard axis 1
-    X, Y, Z = (t[None] for t in Ppts)
-    out = run(X, Y, Z, bits)
-    out = np.asarray(jax.device_get(out))[0]
+    out = run(*Ppts, bits)
+    out = jnp.asarray(out)
     return dc.unpack_points((out[0], out[1], out[2]))[0]
 
 
@@ -121,12 +110,12 @@ def sharded_msm(dc: DeviceCurve, points, scalars: list[int], mesh: Mesh):
 class ShardedNTT:
     """Size-2^k NTT over Fr as [N1, N2] four-step with all_to_all transpose.
 
-    N1 = number of devices * local rows? Here we choose N1 = n_devices-sized
-    blocks: columns sharded for step 1, rows sharded after the transpose.
+    Step 1 runs size-N1 NTTs with columns (N2) sharded; the all_to_all
+    transpose re-shards rows so the size-N2 NTTs are local again.
     """
 
     def __init__(self, df: DeviceField, k: int, mesh: Mesh):
-        from ..ops.ntt import NTT
+        from ..ops.ntt import NTT, _pows_device
 
         self.df = df
         self.mesh = mesh
@@ -138,54 +127,55 @@ class ShardedNTT:
         self.n2 = 1 << (k - k1)
         self.ntt1 = NTT(df, k1)
         self.ntt2 = NTT(df, k - k1)
-        # twiddle matrix W^(i*j) for i < n1, j < n2 (Montgomery form)
-        p = df.field.p
-        w = df.field.nth_root_of_unity(k)
-        R = df.R
-        tw = np.zeros((self.n1, self.n2, N_LIMBS), dtype=np.uint32)
-        for i in range(self.n1):
-            wi = pow(w, i, p)
-            cur = 1
-            for j in range(self.n2):
-                tw[i, j] = _int_to_limbs((cur * R) % p)
-                cur = cur * wi % p
-        self.twiddle = jnp.asarray(tw)
+        # twiddle matrix W^(i*j) for i < n1, j < n2: one device power scan to
+        # w^0..w^{n-1}, then a lane gather at exponents (i*j) mod n — no O(n)
+        # host bigint loop.
+        pows = _pows_device(df, df.field.nth_root_of_unity(k), self.n)  # [16, n]
+        ij = (
+            np.arange(self.n1, dtype=np.int64)[:, None]
+            * np.arange(self.n2, dtype=np.int64)[None, :]
+        ) % self.n
+        self.twiddle = jax.jit(
+            lambda p, e: jnp.take(p, e.reshape(-1), axis=1).reshape(
+                N_LIMBS, self.n1, self.n2
+            )
+        )(pows, jnp.asarray(ij.astype(np.int32)))
 
     def forward(self, coeffs):
-        """coeffs [n, 16] -> evals in natural order [n, 16]."""
+        """coeffs [16, n] -> evals in natural order [16, n]."""
         df = self.df
         mesh = self.mesh
         axis = self.axis
         n1, n2 = self.n1, self.n2
 
-        # matrix view: a[i1, i2], i = i1 * n2 + i2 (row-major)
-        A = coeffs.reshape(n1, n2, N_LIMBS)
+        # matrix view: a[:, i1, i2], i = i1 * n2 + i2 (row-major)
+        A = coeffs.reshape(N_LIMBS, n1, n2)
 
         @jax.jit
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(None, axis, None), P(None, axis, None)),
-            out_specs=P(axis, None, None),
+            in_specs=(P(None, None, axis), P(None, None, axis)),
+            out_specs=P(None, axis, None),
             check_rep=False,
         )
         def step(a, tw):
-            # step 1: size-n1 NTT along axis 0 (columns are local)
-            b = jax.vmap(lambda v: self.ntt1._transform(v, True), in_axes=1, out_axes=1)(a)
-            # step 2: twiddle scale W^{k1 * i2}
+            # step 1: size-n1 NTT along axis 1 (columns are local)
+            b = self.ntt1._transform(a.transpose(2, 0, 1), True).transpose(1, 2, 0)
+            # step 2: twiddle scale
             b = df._mont_mul(b, tw)
-            # step 3: transpose via all_to_all: [n1, n2/d] -> [n1/d, n2]
-            b = jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=1, tiled=True)
-            # step 4: size-n2 NTT along axis 1 (rows are local)
-            c = jax.vmap(lambda v: self.ntt2._transform(v, True), in_axes=0, out_axes=0)(b)
+            # step 3: transpose via all_to_all: [16, n1, n2/d] -> [16, n1/d, n2]
+            b = jax.lax.all_to_all(b, axis, split_axis=1, concat_axis=2, tiled=True)
+            # step 4: size-n2 NTT along axis 2 (rows are local)
+            c = self.ntt2._transform(b.transpose(1, 0, 2), True).transpose(1, 0, 2)
             return c
 
         out = step(A, self.twiddle)
-        # out[k1, k2] = X[k2 * n1 + k1] (transposed index order)
-        return out.reshape(n1, n2, N_LIMBS).transpose(1, 0, 2).reshape(self.n, N_LIMBS)
+        # out[:, k1, k2] = X[k2 * n1 + k1] (transposed index order)
+        return out.transpose(0, 2, 1).reshape(N_LIMBS, self.n)
 
 
 def sharded_ntt_step(df: DeviceField, k: int, mesh: Mesh, coeffs):
-    """One sharded forward NTT; returns evals [n, 16] (natural order)."""
+    """One sharded forward NTT; returns evals [16, n] (natural order)."""
     sn = ShardedNTT(df, k, mesh)
     return sn.forward(coeffs)

@@ -600,7 +600,31 @@ done:
     return PyLong_FromLong(result);
 }
 
+/* pack a list of PyLongs in [0, 2^256) into 32 little-endian bytes each
+ * (= 16 little-endian u16 limbs): the bulk host->device witness packing.
+ * ~10x faster than per-int int.to_bytes in Python. */
+static PyObject *py_pack_limbs16(PyObject *self, PyObject *args) {
+    PyObject *list;
+    if (!PyArg_ParseTuple(args, "O!", &PyList_Type, &list)) return NULL;
+    Py_ssize_t n = PyList_GET_SIZE(list);
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n * 32);
+    if (!out) return NULL;
+    unsigned char *buf = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *v = PyList_GET_ITEM(list, i);
+        if (!PyLong_Check(v) ||
+            _PyLong_AsByteArray((PyLongObject *)v, buf + 32 * i, 32, 1, 0) < 0) {
+            Py_DECREF(out);
+            PyErr_Format(PyExc_ValueError, "pack_limbs16: bad value at %zd", i);
+            return NULL;
+        }
+    }
+    return out;
+}
+
 static PyMethodDef Methods[] = {
+    {"pack_limbs16", py_pack_limbs16, METH_VARARGS,
+     "list of ints < 2^256 -> bytes of 16 LE u16 limbs each"},
     {"check_gates", py_check_gates, METH_VARARGS,
      "first failing gate row of one column, or -1"},
     {"modmul_vec", py_modmul_vec, METH_VARARGS, "elementwise a*b mod p"},

@@ -60,9 +60,9 @@ def test_mul_jit_and_vmap(df):
     a, b = df.pack(a_vals), df.pack(b_vals)
     mul_jit = jax.jit(df.mont_mul)
     assert df.unpack(mul_jit(a, b)) == [F.mul(x, y) for x, y in zip(a_vals, b_vals)]
-    # 2D batch
-    a2 = a.reshape(4, 4, 16)
-    b2 = b.reshape(4, 4, 16)
+    # 2D batch: [16, 16] lanes -> [4, 16, 4] (leading batch dim of 4)
+    a2 = a.reshape(16, 4, 4).transpose(1, 0, 2)
+    b2 = b.reshape(16, 4, 4).transpose(1, 0, 2)
     got = df.unpack(jax.jit(df.mont_mul)(a2, b2))
     assert got == [F.mul(x, y) for x, y in zip(a_vals, b_vals)]
 

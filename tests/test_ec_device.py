@@ -98,7 +98,7 @@ def test_msm_many_lagrange_style(dc):
     cols = [[BN254_G1.random_scalar(rng) for _ in range(n)] for _ in range(C)]
     A = dc.pack_points_affine(pts)
     digits = jnp.stack([dc.pack_scalars(col, 8) for col in cols])  # [C, W, n]
-    out = msm_many_device(dc, A, digits, 8, True)
+    out = msm_many_device(dc, A, digits, 8, True)  # (X, Y, Z) each [16, C]
+    got = dc.unpack_points(out)
     for c in range(C):
-        got = dc.unpack_points((out[0][c], out[1][c], out[2][c]))[0]
-        assert got == BN254_G1.msm(pts, cols[c])
+        assert got[c] == BN254_G1.msm(pts, cols[c])

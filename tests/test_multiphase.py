@@ -108,6 +108,8 @@ def test_rlc_prove_wrong_challenge_fails():
         # adversarial prover uses a challenge value of its choosing
         _rlc_phase1(b, gate, vs, (chals[0] + 1) % FR_BN254.p)
 
-    with pytest.raises((VerificationError, AssertionError)):
+    try:
         proof = create_proof(params, pk, pb, phase_fns={1: phase1})
-        verify_proof(params, pk.vk, proof)
+    except AssertionError:
+        return  # prover-side challenge-pin check caught it -> fine
+    assert not verify_proof(params, pk.vk, proof)

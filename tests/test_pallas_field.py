@@ -17,7 +17,7 @@ from halo2_lib_tpu.utils.curves import BN254_G1
 
 pytestmark = pytest.mark.skipif(not pf.HAVE_PALLAS, reason="pallas unavailable")
 
-N = pf.BLK  # one block
+N = 512  # one lane-pad granule
 
 
 @pytest.fixture(scope="module")

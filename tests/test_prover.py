@@ -72,8 +72,7 @@ def test_tampered_proof_fails(params):
     pk = keygen(params, builder)
     proof = bytearray(create_proof(params, pk, builder))
     proof[len(proof) // 2] ^= 1
-    with pytest.raises((VerificationError, ValueError, Exception)):
-        verify_proof(params, pk.vk, bytes(proof))
+    assert not verify_proof(params, pk.vk, bytes(proof))
 
 
 def test_wrong_witness_fails(params):
@@ -89,8 +88,7 @@ def test_wrong_witness_fails(params):
         proof = create_proof(params, pk, bad_builder)
     except Exception:
         return  # witness gen itself detected the inconsistency -> fine
-    with pytest.raises(VerificationError):
-        verify_proof(params, pk.vk, proof)
+    assert not verify_proof(params, pk.vk, proof)
 
 
 def test_q_lookup_single_column_prover(params):
