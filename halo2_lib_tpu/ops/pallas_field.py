@@ -35,6 +35,7 @@ Algorithm notes
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -419,6 +420,19 @@ def _bspec(blk):
     return pl.BlockSpec((1, N_LIMBS, blk), lambda l, i: (l, 0, i), memory_space=pltpu.VMEM)
 
 
+def _guard(x):
+    """Pin an optimization_barrier between every pallas result and its
+    consumers. Works around a TPU XLA compiler abort on large prover graphs
+    (TpuInstructionFusion::ShouldFuse → AllowedFusionsWithCustomCallAsProducer
+    → HloReachabilityMap::IsReachable → std::out_of_range) when the fusion
+    pass considers slicing/reshaping consumers of a pallas custom-call as
+    fusion candidates. The barrier is a semantic identity; set
+    HALO2_NO_PALLAS_GUARD=1 to drop it."""
+    if os.environ.get("HALO2_NO_PALLAS_GUARD") == "1":
+        return x
+    return jax.lax.optimization_barrier(x)
+
+
 @functools.lru_cache(maxsize=None)
 def _mm_call(p_int: int, L: int, BP: int, blk: int, interpret: bool):
     from ..utils.fields import PrimeField
@@ -440,7 +454,7 @@ def mont_mul(df: DeviceField, a, b, interpret: bool = False):
     if 0 in shape:
         return jnp.zeros(shape, jnp.uint32)
     (af, bf), shape, L, BP, blk = _prep_args([a, b], shape)
-    out = _mm_call(df.p_int, L, BP, blk, interpret)(af, bf)
+    out = _guard(_mm_call(df.p_int, L, BP, blk, interpret)(af, bf))
     return out[..., : shape[-1]].reshape(shape)
 
 
@@ -473,7 +487,7 @@ def ec_add(dc, P1, P2, interpret: bool = False):
         z = jnp.zeros(shape, jnp.uint32)
         return (z, z, z)
     args, shape, L, BP, blk = _prep_args([*P1, *P2], shape, BLK_EC)
-    outs = _ec_call(dc.df.p_int, "add", L, BP, blk, interpret)(*args)
+    outs = _guard(_ec_call(dc.df.p_int, "add", L, BP, blk, interpret)(*args))
     return tuple(t[..., : shape[-1]].reshape(shape) for t in outs)
 
 
@@ -484,7 +498,7 @@ def ec_madd(dc, P1, A2, distinct: bool, interpret: bool = False):
         z = jnp.zeros(shape, jnp.uint32)
         return (z, z, z)
     args, shape, L, BP, blk = _prep_args([*P1, *A2], shape, BLK_EC)
-    outs = _ec_call(dc.df.p_int, "madd", L, BP, blk, interpret, distinct)(*args)
+    outs = _guard(_ec_call(dc.df.p_int, "madd", L, BP, blk, interpret, distinct)(*args))
     return tuple(t[..., : shape[-1]].reshape(shape) for t in outs)
 
 
@@ -495,7 +509,7 @@ def ec_double(dc, P, interpret: bool = False):
         z = jnp.zeros(shape, jnp.uint32)
         return (z, z, z)
     args, shape, L, BP, blk = _prep_args(list(P), shape, BLK_EC)
-    outs = _ec_call(dc.df.p_int, "double", L, BP, blk, interpret)(*args)
+    outs = _guard(_ec_call(dc.df.p_int, "double", L, BP, blk, interpret)(*args))
     return tuple(t[..., : shape[-1]].reshape(shape) for t in outs)
 
 
@@ -583,8 +597,10 @@ def bucket_scan(dc, axy_sorted, seg_start, cl: int, distinct: bool, interpret: b
     """
     wb, R, _, cl_in = axy_sorted.shape
     assert cl_in == cl
-    return _bucket_scan_call(dc.df.p_int, wb, R, cl, distinct, interpret)(
-        axy_sorted, seg_start.reshape(wb, R, 1, cl)
+    return _guard(
+        _bucket_scan_call(dc.df.p_int, wb, R, cl, distinct, interpret)(
+            axy_sorted, seg_start.reshape(wb, R, 1, cl)
+        )
     )
 
 
@@ -624,7 +640,7 @@ def ntt_butterfly(df: DeviceField, a, b, w, interpret: bool = False):
         z = jnp.zeros(shape, jnp.uint32)
         return (z, z)
     args, shape, L, BP, blk = _prep_args([a, b, w], shape)
-    top, bot = _butterfly_call(df.p_int, L, BP, blk, interpret)(*args)
+    top, bot = _guard(_butterfly_call(df.p_int, L, BP, blk, interpret)(*args))
     B = shape[-1]
     return top[..., :B].reshape(shape), bot[..., :B].reshape(shape)
 
@@ -663,5 +679,5 @@ def field_addsub(df: DeviceField, a, b, is_add: bool, interpret: bool = False):
     if 0 in shape:
         return jnp.zeros(shape, jnp.uint32)
     (af, bf), shape, L, BP, blk = _prep_args([a, b], shape)
-    out = _field_addsub_call(df.p_int, L, BP, blk, is_add, interpret)(af, bf)
+    out = _guard(_field_addsub_call(df.p_int, L, BP, blk, is_add, interpret)(af, bf))
     return out[..., : shape[-1]].reshape(shape)

@@ -85,3 +85,29 @@ def test_ecdsa_swapped_pubkey_rejected():
     pub1, r, s, msghash = make_sig(46)
     pub2, *_ = make_sig(47)
     run_ecdsa(pub2, r, s, msghash, 0)
+
+
+def test_ecdsa_external_openssl_oracle():
+    """External anchor (round-1 verdict: break in-repo oracle circularity).
+
+    The signature is produced by OpenSSL via the `cryptography` package —
+    fully independent of this repo's curve arithmetic — then verified both by
+    our host verifier and in-circuit. If our secp256k1 field/EC/ECDSA math
+    drifted from the real curve, this fails."""
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.hazmat.primitives.asymmetric.utils import (
+        Prehashed,
+        decode_dss_signature,
+    )
+
+    priv = ec.derive_private_key(0x123456789ABCDEF, ec.SECP256K1())
+    msghash = 0xA5C3_0000_DEAD_BEEF_0000_0000_0000_0001
+    digest = msghash.to_bytes(32, "big")
+    sig = priv.sign(digest, ec.ECDSA(Prehashed(hashes.SHA256())))
+    r, s = decode_dss_signature(sig)
+    nums = priv.public_key().public_numbers()
+    pub = (nums.x, nums.y)
+    assert ecdsa_verify_host(SECP256K1, pub, msghash, r, s)
+    run_ecdsa(pub, r, s, msghash, 1)
+    run_ecdsa(pub, r, s, (msghash + 1) % SECP256K1.scalar.p, 0)
