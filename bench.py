@@ -211,6 +211,11 @@ def bench_ntt(log_n: int = 22, iters: int = 5) -> dict:
 def main():
     mode = os.environ.get("HALO2_BENCH", "ecdsa")
     k = int(os.environ.get("HALO2_BENCH_K", "15"))
+    t_start = time.time()
+    # Leave headroom under the driver's run budget: kernel side-benches are
+    # skipped when the headline path (cold XLA compiles included) already
+    # consumed this many seconds.
+    budget_s = float(os.environ.get("HALO2_BENCH_BUDGET_S", "420"))
     try:
         if mode == "ntt":
             result = bench_ntt()
@@ -221,10 +226,12 @@ def main():
             # standing kernel metrics alongside the headline latency
             if os.environ.get("HALO2_BENCH_NO_KERNELS") != "1":
                 try:
-                    m = bench_msm()
-                    nt = bench_ntt()
-                    result.setdefault("extra", {})[m["metric"]] = m["value"]
-                    result["extra"][nt["metric"]] = nt["value"]
+                    for fn in (bench_msm, bench_ntt):
+                        if time.time() - t_start > budget_s:
+                            sys.stderr.write("kernel bench skipped (time budget)\n")
+                            break
+                        m = fn()
+                        result.setdefault("extra", {})[m["metric"]] = m["value"]
                 except Exception as e:  # noqa: BLE001
                     sys.stderr.write(f"kernel bench skipped ({type(e).__name__}: {e})\n")
     except Exception as e:  # noqa: BLE001 - always emit a benchmark point

@@ -279,9 +279,9 @@ def sigma_mont_device(df, dom, nc, nr):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.ntt import _pows_device
+    from ..ops.ntt import pows_host
 
-    delta_pows = _pows_device(df, DELTA, max(nc.shape[0], 1))  # [16, ncols]
+    delta_pows = pows_host(df, DELTA, max(nc.shape[0], 1))  # [16, ncols]
     omega_pows = dom.omega_pows_dev()  # [16, n]
 
     @jax.jit
@@ -385,7 +385,7 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     import jax.numpy as jnp
 
     from ..ops.ec_device import DeviceCurve  # noqa: F401 (device path)
-    from .prover import _host_points, _u16_cols
+    from .prover import _host_points, _lag_from_u16, _u16_cols
 
     all_cols = list(selectors) + list(fixed_cols)
     if table_col is not None:
@@ -400,19 +400,14 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     sigma_mont = sigma_mont_device(df, dom, nc_arr, nr_arr)
     _kstage("sigma device build")
 
-    @jax.jit
-    def _all_lag(cols_u16, sigma_mont):
-        # upload stays [C, n, 16] u16 (host-cheap); limb-major on device
-        lag = df._to_mont(cols_u16.astype(jnp.uint32).transpose(0, 2, 1))
-        return jnp.concatenate([lag, sigma_mont], axis=0)
-
     cols_u16 = jnp.asarray(_u16_cols(all_cols, n))
     _kstage("u16 packing")
     bases = params.affine_lagrange_bases()
     _kstage("lagrange base packing")
-    # commit via the shared chunked MSM jit (compiled once, reused by the
-    # prover stages — see ParamsKZG.commit_columns)
-    pts = _host_points(dc, params.commit_columns(df, _all_lag(cols_u16, sigma_mont), bases))
+    # commit via the shared chunked MSM + to_mont executables (compiled once,
+    # reused by every prover stage — see ParamsKZG.commit_columns)
+    all_lag = jnp.concatenate([_lag_from_u16(df, cols_u16), sigma_mont], axis=0)
+    pts = _host_points(dc, params.commit_columns(df, all_lag, bases))
     _kstage("commit dispatch")
     nsigma = len(perm_cols)
     o = 0

@@ -183,63 +183,63 @@ class ParamsKZG:
             self._lag_affine = self.device_curve().pack_points_affine(self.g_lagrange)
         return self._lag_affine
 
+    def _commit_chunk_jit(self, fr_df, m: int, window_bits: int):
+        """One jitted `[b, 16, m] columns + bases -> [b, 33] packed affine`
+        executable per (m, window_bits), shared by every chunk size via the
+        leading-axis shape (chunk widths are pow2-bucketed by the caller)."""
+        key = (m, window_bits)
+        fn = self._commit_jits.get(key)
+        if fn is None:
+            dc = self.device_curve()
+            df = dc.df
+            n_srs = self.n
+
+            def body(chunk, Ax, Ay):
+                digits = window_digits(fr_df, chunk, window_bits)
+                if m < n_srs:
+                    digits = jnp.pad(digits, ((0, 0), (0, 0), (0, n_srs - m)))
+                X, Y, Z = msm_many_device(dc, (Ax, Ay), digits, window_bits, True)
+                inf = df.is_zero(Z)  # [b]
+                zinv = df._batch_inv(Z)
+                zi2 = df._mont_mul(zinv, zinv)
+                ax = df._mont_mul(X, zi2)
+                ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
+                # [b, 33]: x limbs | y limbs | inf flag
+                return jnp.concatenate(
+                    [
+                        df._from_mont(ax),
+                        df._from_mont(ay),
+                        inf.astype(jnp.uint32)[None, :],
+                    ],
+                    axis=0,
+                ).transpose(1, 0)
+
+            fn = jax.jit(body)
+            self._commit_jits[key] = fn
+        return fn
+
     def commit_columns(self, fr_df, vals_mont, bases, window_bits: int = 8):
         """[C, 16, m] Montgomery columns -> packed uint32[C, 33] canonical
         affine commitments (x limbs | y limbs | inf flag) over C.
 
-        ONE compiled graph per (m, window_bits): C is padded to a multiple of
-        COMMIT_CHUNK and fed through lax.map, so every prover stage, keygen,
-        and both bases (Lagrange / monomial, passed as runtime args) share the
-        same compiled Pippenger MSM. Inlining a column-count-specialized MSM
-        copy into each stage jit was the bulk of the cold-compile bill and
-        produced modules too large for remote compile services. The packed
-        single-array result keeps the host fetch to ONE transfer (each
-        device->host round trip costs ~30 ms on tunneled backends).
-        """
-        dc = self.device_curve()
-        df = dc.df
-        C, _, m = vals_mont.shape
+        Dispatched from the host in COMMIT_CHUNK-column chunks: every chunk
+        of every caller (keygen, all prover stages, both bases — Lagrange /
+        monomial, passed as runtime args) reuses ONE compiled Pippenger MSM
+        per (m, window_bits, chunk size). Inlining a column-count-specialized
+        MSM copy into each stage jit was the bulk of the cold-compile bill,
+        and even a lax.map-over-chunks design recompiled the whole MSM for
+        every distinct chunk COUNT. The packed single-array result keeps the
+        host fetch to ONE transfer (each device->host round trip costs
+        ~30 ms on tunneled backends)."""
+        from ..ops.ntt import dispatch_cols
+
+        C = vals_mont.shape[0]
         if C == 0:
             return jnp.zeros((0, 33), jnp.uint32)
-        # bucket = pow2 chunk width: a [1]-column commit must not pay an
-        # 8-wide MSM; at most log2(COMMIT_CHUNK)+1 compiled variants exist
-        bucket = COMMIT_CHUNK if C >= COMMIT_CHUNK else 1 << (C - 1).bit_length()
-        key = (m, window_bits, bucket)
-        fn = self._commit_jits.get(key)
-        if fn is None:
-            n_srs = self.n
-
-            def _run(vals, Ax, Ay):
-                def body(chunk):
-                    digits = window_digits(fr_df, chunk, window_bits)
-                    if m < n_srs:
-                        digits = jnp.pad(digits, ((0, 0), (0, 0), (0, n_srs - m)))
-                    X, Y, Z = msm_many_device(dc, (Ax, Ay), digits, window_bits, True)
-                    inf = df.is_zero(Z)  # [bucket]
-                    zinv = df._batch_inv(Z)
-                    zi2 = df._mont_mul(zinv, zinv)
-                    ax = df._mont_mul(X, zi2)
-                    ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
-                    # [33, bucket]: x rows | y rows | inf row
-                    return jnp.concatenate(
-                        [
-                            df._from_mont(ax),
-                            df._from_mont(ay),
-                            inf.astype(jnp.uint32)[None, :],
-                        ],
-                        axis=0,
-                    )
-
-                out = jax.lax.map(body, vals)  # [chunks, 33, bucket]
-                return out.transpose(0, 2, 1)  # [chunks, bucket, 33]
-
-            fn = jax.jit(_run)
-            self._commit_jits[key] = fn
-        pad = (-C) % bucket
-        if pad:
-            vals_mont = jnp.pad(vals_mont, ((0, pad), (0, 0), (0, 0)))
-        packed = fn(vals_mont.reshape(-1, bucket, N_LIMBS, m), bases[0], bases[1])
-        return packed.reshape(-1, 33)[:C]
+        fn = self._commit_chunk_jit(fr_df, vals_mont.shape[2], window_bits)
+        return dispatch_cols(
+            vals_mont, COMMIT_CHUNK, lambda b: (lambda v: fn(v, bases[0], bases[1]))
+        )
 
     def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = 8, bases=None):
         """Traceable batched commitment: [C, 16, m] Montgomery column values

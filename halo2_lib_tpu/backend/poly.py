@@ -150,12 +150,12 @@ class Domain:
 
     # --- device scalar-power helpers ------------------------------------------------
     def omega_pows_dev(self) -> jax.Array:
-        """[16, n] Montgomery values of the domain points w^i (cached;
-        computed on device by a log-depth power scan, no O(n) host loop)."""
+        """[16, n] Montgomery values of the domain points w^i (cached; host
+        power chain — see ops/ntt.py pows_host for why not a device scan)."""
         if not hasattr(self, "_omega_pows_dev"):
-            from ..ops.ntt import _pows_device
+            from ..ops.ntt import pows_host
 
-            self._omega_pows_dev = _pows_device(self.df, self.omega, self.n)
+            self._omega_pows_dev = pows_host(self.df, self.omega, self.n)
         return self._omega_pows_dev
 
     def pows_dev(self, x: int, m: int) -> jax.Array:

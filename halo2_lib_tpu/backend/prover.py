@@ -125,6 +125,33 @@ def _u16_cols(cols: list[list[int]], n: int) -> np.ndarray:
     return ints_to_limbs(flat).astype(np.uint16).reshape(len(cols), n, N_LIMBS)
 
 
+_LAG_JITS: dict = {}
+
+
+def _lag_from_u16(df, cols_u16):
+    """uint16[C, n, 16] uploaded columns -> uint32[C, 16, n] Montgomery-
+    Lagrange, dispatched in host chunks so ONE executable per (field, n,
+    chunk size) is shared by keygen and every prover stage (advice, dyn,
+    permuted, ...) regardless of the column count."""
+    from ..ops.ntt import dispatch_cols
+
+    C, n, _ = cols_u16.shape
+    if C == 0:
+        return jnp.zeros((0, N_LIMBS, n), jnp.uint32)
+
+    def jit_for(b):
+        key = (df.p_int, n, b)
+        fn = _LAG_JITS.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda c: df._to_mont(c.astype(jnp.uint32).transpose(0, 2, 1))
+            )
+            _LAG_JITS[key] = fn
+        return fn
+
+    return dispatch_cols(cols_u16, 8, jit_for)
+
+
 def _row_sharder(mesh):
     """Shard the row axis n of column tensors over the mesh's first axis.
     Uploaded u16 tensors are [C, n, 16] (rows at -2); device limb-major
@@ -185,11 +212,28 @@ class ProverRuntime:
             "qlookup": [pk.q_lookup_col] if pk.q_lookup_col is not None else [],
             "table": [pk.table_col] if pk.table_col is not None else [],
         }
+        # domain constants ride the same table pipeline as the pk columns:
+        # l0/llast/lact (Lagrange selectors) and X (whose Lagrange form on H
+        # is simply w^i) are appended as extra columns, so their extended-
+        # coset forms come out of the SAME chunked NTT dispatches — no
+        # separate compiles.
+        from ..ops.ntt import pows_host_ints
+
+        l0 = [0] * n
+        l0[0] = 1
+        llast = [0] * n
+        llast[u] = 1
+        lact = [1 if r < u else 0 for r in range(n)]
+        xlag = pows_host_ints(FR_BN254.p, dom.omega, n)
+        fixed_host["const"] = [l0, llast, lact, xlag]
+
         stacked = []
         self._tbl_index: dict[str, int] = {}
+        const_names = {"const0": "l0", "const1": "llast", "const2": "lact", "const3": "xpoly"}
         for fam, cols in fixed_host.items():
             for i, c in enumerate(cols):
-                self._tbl_index[f"{fam}{i}" if fam != "table" else "table"] = len(stacked)
+                name = f"{fam}{i}" if fam != "table" else "table"
+                self._tbl_index[const_names.get(name, name)] = len(stacked)
                 stacked.append(_pad(c, n))
         # sigma columns arrive as a device Montgomery tensor from keygen
         for ci in range(ncols):
@@ -198,39 +242,16 @@ class ProverRuntime:
         sigma_mont = self.shard(pk.perm_values)
         _tt = _stage("rt: pk u16 packing", _tt)
 
-        @jax.jit
-        def _prep(tblq, sigma_mont):
-            lag = jnp.concatenate(
-                [df._to_mont(tblq.astype(jnp.uint32).transpose(0, 2, 1)), sigma_mont],
-                axis=0,
-            )
-            coeff = dom.ntt.inverse(lag)
-            ext = dom.coset_ntt.forward(_pad_coeff(coeff, dom.n_ext))
-            return lag, coeff, ext
-
-        self.tbl_lag, self.tbl_coeff, self.tbl_ext = _prep(tbl_u16, sigma_mont)
-        jax.block_until_ready(self.tbl_lag)
+        # chunked host dispatches — every stage below reuses executables
+        # shared with keygen and the proof-time column pipelines
+        lag_cols = _lag_from_u16(df, tbl_u16)
+        self.tbl_lag = jnp.concatenate([lag_cols, sigma_mont], axis=0)
+        self.tbl_coeff = dom.ntt.inverse_cols(self.tbl_lag)
+        self.tbl_ext = dom.coset_ntt.forward_cols(_pad_coeff(self.tbl_coeff, dom.n_ext))
+        jax.block_until_ready(self.tbl_ext)
         _tt = _stage("rt: pk table prep (to_mont+NTTs)", _tt)
 
-        # domain constants on the extended coset
-        l0 = [0] * n
-        l0[0] = 1
-        llast = [0] * n
-        llast[u] = 1
-        lact = [1 if r < u else 0 for r in range(n)]
-        consts_u16 = jnp.asarray(_u16_cols([l0, llast, lact], n))
-
-        @jax.jit
-        def _prep_consts(cq):
-            lag = df._to_mont(cq.astype(jnp.uint32).transpose(0, 2, 1))
-            return dom.coset_ntt.forward(_pad_coeff(dom.ntt.inverse(lag), dom.n_ext))
-
-        l0_e, llast_e, lact_e = _prep_consts(consts_u16)
-        _tt = _stage("rt: domain consts", _tt)
-        # X on the coset: poly with coeffs [0, 1]
-        xp = jnp.zeros((N_LIMBS, dom.n_ext), jnp.uint32).at[:, 1].set(jnp.asarray(df.ONE_MONT))
-        x_poly_e = jax.jit(dom.coset_ntt.forward)(xp)
-
+        tix = self._tbl_index
         # All per-pk device state is passed to the stage jits as ARGUMENTS
         # (a pytree dict): closure-captured concrete arrays would become
         # compile-time constants baked into (and hashed with) every stage
@@ -239,10 +260,10 @@ class ProverRuntime:
             "lag": self.tbl_lag,
             "coeff": self.tbl_coeff,
             "ext": self.tbl_ext,
-            "l0_e": l0_e,
-            "llast_e": llast_e,
-            "lact_e": lact_e,
-            "x_poly_e": x_poly_e,
+            "l0_e": self.tbl_ext[tix["l0"]],
+            "llast_e": self.tbl_ext[tix["llast"]],
+            "lact_e": self.tbl_ext[tix["lact"]],
+            "x_poly_e": self.tbl_ext[tix["xpoly"]],
             "omega": dom.omega_pows_dev(),
             "zh_inv": dom.zh_inv_ext,
             "lagA": params.affine_lagrange_bases(),
@@ -489,9 +510,7 @@ def create_proof(
         cols = adv_t + lk_t + (instance_vals if t == 0 else [])
         cols_u16 = _shard(jnp.asarray(_u16_cols(cols, n)))
 
-        lag_t = rt.jit(
-            "to_mont", lambda c: df._to_mont(c.astype(jnp.uint32).transpose(0, 2, 1))
-        )(cols_u16)
+        lag_t = _lag_from_u16(df, cols_u16)
         com1 = params.commit_columns(df, lag_t[:ncommit], T["lagA"])
         for pt in _host_points(dc, com1):
             tr.write_point(pt)
@@ -504,18 +523,13 @@ def create_proof(
     if nphases == 1:
         adv_lag, lk_lag = phase_lags[0]
     else:
-
-        def s1cat(parts):
-            advs = [a for a, _ in parts]
-            lks = [l for _, l in parts]
-            cat = lambda xs: (
-                jnp.concatenate(xs, axis=0)
-                if xs
-                else jnp.zeros((0, N_LIMBS, n), jnp.uint32)
-            )
-            return cat(advs), cat(lks)
-
-        adv_lag, lk_lag = rt.jit("s1cat", s1cat)(phase_lags)
+        cat = lambda xs: (
+            jnp.concatenate(xs, axis=0)
+            if len(xs) > 1
+            else (xs[0] if xs else jnp.zeros((0, N_LIMBS, n), jnp.uint32))
+        )
+        adv_lag = cat([a for a, _ in phase_lags])
+        lk_lag = cat([l for _, l in phase_lags])
 
     # dynamic-lookup dedicated advice columns (committed after phase advice)
     dyn_vals: list[list[int]] = []
@@ -531,9 +545,7 @@ def create_proof(
     if nd:
         dyn_u16 = _shard(jnp.asarray(_u16_cols(dyn_vals, n)))
 
-        dyn_lag = rt.jit(
-            "to_mont", lambda c: df._to_mont(c.astype(jnp.uint32).transpose(0, 2, 1))
-        )(dyn_u16)
+        dyn_lag = _lag_from_u16(df, dyn_u16)
         comd = params.commit_columns(df, dyn_lag, T["lagA"])
         for pt in _host_points(dc, comd):
             tr.write_point(pt)
@@ -569,9 +581,7 @@ def create_proof(
         permuted_host.extend([a_p, s_p])
     perm_u16 = _shard(jnp.asarray(_u16_cols(permuted_host, n)))
 
-    permuted_lag = rt.jit(
-        "to_mont", lambda c: df._to_mont(c.astype(jnp.uint32).transpose(0, 2, 1))
-    )(perm_u16)
+    permuted_lag = _lag_from_u16(df, perm_u16)
     com2 = params.commit_columns(df, permuted_lag, T["lagA"])
     for pt in _host_points(dc, com2):
         tr.write_point(pt)
@@ -713,16 +723,10 @@ def create_proof(
     K = K_gates + K_chal + K_perm + K_lk
     chal_dev = dom.pack([challenges[c] for c, _ in vk.challenge_pins] or [0])
 
-    # s4 is split into three jits (IFFT/coset, expressions, MSM): one fused
-    # graph was so large that XLA:CPU's compile-cache serialization crashed.
-    def s4a(adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag):
-        runtime_lag = jnp.concatenate(
-            [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
-        )
-        coeffs = dom.ntt.inverse(runtime_lag)
-        ext = dom.coset_ntt.forward(_pad_coeff(coeffs, dom.n_ext))
-        return coeffs, ext
-
+    # The quotient work is split into the batched NTT conversions (chunked
+    # host dispatches sharing executables with every other caller) and one
+    # expressions jit (s4b): one fused graph was so large that compile (and
+    # on XLA:CPU even compile-cache serialization) fell over.
     def s4b(T, ext, scal, ych, chal_dev):
         ne = dom.n_ext
         o = 0
@@ -833,17 +837,18 @@ def create_proof(
         ypows = dom.pows_of(ych, K)[:, ::-1]  # y^{K-1} ... y^0, [16, K]
         ycol = jnp.swapaxes(ypows, 0, 1)[:, :, None]  # [K, 16, 1]
         acc = _tree_sum(df, df._mont_mul(stack, ycol))
-        h_ext = df._mont_mul(acc, T["zh_inv"])
-        h_coeffs = dom.coset_ntt.inverse(h_ext)
-        top_zero = jnp.all(h_coeffs[:, 3 * n :] == 0)
-        pieces = h_coeffs[:, : 3 * n].reshape(N_LIMBS, 3, n).transpose(1, 0, 2)
-        return pieces, top_zero
+        return df._mont_mul(acc, T["zh_inv"])
 
     ych = dom.pack([y])
-    runtime_coeffs, runtime_ext = rt.jit("s4a", s4a)(
-        adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag
+    runtime_lag = jnp.concatenate(
+        [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
     )
-    h_pieces, top_zero = rt.jit("s4b", s4b)(T, runtime_ext, scal3, ych, chal_dev)
+    runtime_coeffs = dom.ntt.inverse_cols(runtime_lag)
+    runtime_ext = dom.coset_ntt.forward_cols(_pad_coeff(runtime_coeffs, dom.n_ext))
+    h_ext = rt.jit("s4b", s4b)(T, runtime_ext, scal3, ych, chal_dev)
+    h_coeffs = dom.coset_ntt.inverse_cols(h_ext[None])[0]
+    top_zero = jnp.all(h_coeffs[:, 3 * n :] == 0)
+    h_pieces = h_coeffs[:, : 3 * n].reshape(N_LIMBS, 3, n).transpose(1, 0, 2)
     com4 = params.commit_columns(df, h_pieces, T["monoA"])
     for pt in _host_points(dc, com4):
         tr.write_point(pt)
@@ -862,9 +867,13 @@ def create_proof(
     xc = pow(x, n, P)
     h_scal = dom.pack([1, xc, xc * xc % P])  # [3, 16]
 
-    def s5_fn(T, runtime_coeffs, h_pieces, pt_scalars, h_scal):
+    def _h_comb_fn(h_pieces, h_scal):
         hcol = jnp.swapaxes(h_scal, 0, 1)[:, :, None]  # [3, 16, 1]
-        h_comb = _tree_sum(df, df._mont_mul(h_pieces, hcol))
+        return _tree_sum(df, df._mont_mul(h_pieces, hcol))
+
+    h_comb = rt.jit("hcomb", _h_comb_fn)(h_pieces, h_scal)
+
+    def s5_fn(T, runtime_coeffs, h_comb, pt_scalars):
         evals_out = []
         for pi, pl in enumerate(point_list):
             labels = by_point[pl]
@@ -884,7 +893,7 @@ def create_proof(
         return evals_out
 
     pt_scalars = dom.pack([pts[pl] for pl in point_list])
-    eval_tensors = rt.jit("s5", s5_fn)(T, runtime_coeffs, h_pieces, pt_scalars, h_scal)
+    eval_tensors = rt.jit("s5", s5_fn)(T, runtime_coeffs, h_comb, pt_scalars)
     from ..ops.limbs import limbs_to_ints
 
     evals: dict[str, dict[str, int]] = {lb: {} for lb, _ in plan}
@@ -944,14 +953,9 @@ def create_proof(
         [_src(lb) for lb in labels] for _, labels in groups
     ]
 
-    def s6(T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag, h_pieces,
-           h_scal, vpow_dev, r_dev, s_dev, w_dev):
-        runtime_lag = jnp.concatenate(
-            [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
-        )
-        hcol = jnp.swapaxes(h_scal, 0, 1)[:, :, None]
-        h_comb = _tree_sum(df, df._mont_mul(h_pieces, hcol))
-        h_lag = dom.ntt.forward(h_comb)
+    h_lag = dom.ntt.forward_cols(h_comb[None])[0]
+
+    def s6(T, runtime_lag, h_lag, vpow_dev, r_dev, s_dev, w_dev):
         W = T["omega"]  # [16, n]
         g_forms = []
         for gi, srcs in enumerate(group_label_srcs):
@@ -991,13 +995,12 @@ def create_proof(
         wcol = jnp.swapaxes(w_dev, 0, 1)[:, :, None]  # [ngroups, 16, 1]
         terms = df._mont_mul(df._mont_mul(num, inv_zs), wcol)
         h_open = _tree_sum(df, terms)
-        h_open_coeffs = dom.ntt.inverse(h_open)
-        return gstack, h_open, h_open_coeffs
+        return gstack, h_open
 
-    gstack, h_open_lag, h_open_coeffs = rt.jit("s6", s6)(
-        T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag, h_pieces,
-        h_scal, vpow_dev, r_dev, s_dev, w_dev,
+    gstack, h_open_lag = rt.jit("s6", s6)(
+        T, runtime_lag, h_lag, vpow_dev, r_dev, s_dev, w_dev
     )
+    h_open_coeffs = dom.ntt.inverse_cols(h_open_lag[None])[0]
     com6 = params.commit_columns(df, h_open_coeffs[None], T["monoA"])
     tr.write_point(_host_points(dc, com6)[0])
 
@@ -1029,10 +1032,10 @@ def create_proof(
         L_acc = _tree_sum(df, terms)
         L_acc = df._sub(L_acc, df._mont_mul(h_open_lag, ztu_dev))
         inv_xu = df._batch_inv(df._sub(W, jnp.broadcast_to(uch_dev, (N_LIMBS, n))))
-        q_evals = df._mont_mul(L_acc, inv_xu)
-        return dom.ntt.inverse(q_evals)
+        return df._mont_mul(L_acc, inv_xu)
 
-    q_coeffs = rt.jit("s7", s7)(T, gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev)
+    q_evals = rt.jit("s7", s7)(T, gstack, h_open_lag, scale_dev, ru_dev, ztu_dev, uch_dev)
+    q_coeffs = dom.ntt.inverse_cols(q_evals[None])[0]
     com7 = params.commit_columns(df, q_coeffs[None], T["monoA"])
     tr.write_point(_host_points(dc, com7)[0])
     _t = _stage("shplonk", _t)

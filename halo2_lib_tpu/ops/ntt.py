@@ -7,12 +7,17 @@ radix-2 FFT inside `halo2-axiom`'s `create_proof` (SURVEY.md §2.9).
 TPU-first shape choice: Stockham DIF avoids the bit-reversal permutation
 entirely — every stage is a slice + butterfly (add/sub/mont_mul) + block
 interleave on the flat LANE axis of limb-major ``[..., 16, N]`` tensors
-(see ops/limbs.py for the layout rationale). Twiddles for all stages are
-strided slices of one length-n/2 table, generated ON DEVICE by a log-depth
-power scan (no O(n) host bigint loops). All transforms accept arbitrary
-leading batch dims — the prover converts every column of a proof in ONE
-dispatch ([C, 16, n] tensors), which matters doubly on remote-tunnel
-backends where each dispatch costs a host round trip.
+(see ops/limbs.py for the layout rationale). All transforms accept arbitrary
+leading batch dims.
+
+Compile-cost design: the prover transforms MANY column stacks of shapes
+[C, 16, n] with C varying per call site (pk tables, advice, quotient, single
+openings). Tracing the log n-stage 254-bit butterfly graph per distinct C is
+a multi-minute XLA compile EACH. So batched transforms are dispatched from
+the HOST in power-of-two column chunks (`forward_cols`/`inverse_cols`):
+every chunk reuses one executable per (chunk size, n), shared by every call
+site, keygen, and the prover. The traceable `forward`/`inverse` remain for
+use inside enclosing jits (tests, sharded kernels).
 
 Multi-chip scaling: the leading stages split across devices and exchange
 with all_to_all (four-step decomposition); see parallel/sharded.py.
@@ -23,16 +28,72 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .limbs import N_LIMBS, DeviceField, _use_pallas
+from .limbs import N_LIMBS, DeviceField, _use_pallas, ints_to_limbs_T
 
 
-# Fixed column-chunk for batched transforms. All batched NTT calls are
-# routed through a lax.map over [CHUNK, 16, n] blocks, so the (large,
-# log n-stage) butterfly graph is traced/compiled ONCE per n — independent
-# of how many columns a circuit has. Without this, every distinct column
-# count is a separate multi-minute XLA compile of an unrolled 15-17 stage
-# Montgomery graph (and a separate persistent-cache entry).
+# Fixed column-chunk for batched transforms routed through lax.map when the
+# transform runs inside an enclosing jit trace (forward/inverse): the
+# butterfly graph is traced ONCE per n, independent of the column count.
 NTT_CHUNK = 8
+
+
+def pows_host(df: DeviceField, root: int, m: int, device: bool = True):
+    """[16, m] Montgomery powers 1, root, ..., root^{m-1}.
+
+    Computed with exact host ints (two bigint mulmods per element) and packed
+    through numpy — measured faster end-to-end than compiling a log-depth
+    device power scan per distinct m (each such compile is seconds on TPU,
+    and every domain needs four tables). Set device=False for the raw
+    numpy limbs."""
+    p = df.p_int
+    r = df.R
+    out = [0] * m
+    cur = 1
+    for i in range(m):
+        out[i] = cur * r % p
+        cur = cur * root % p
+    arr = ints_to_limbs_T(out)
+    return jnp.asarray(arr) if device else arr
+
+
+def pows_host_ints(p: int, root: int, m: int) -> list[int]:
+    """Canonical host power chain [1, root, ..., root^{m-1}] mod p."""
+    out = [0] * m
+    cur = 1
+    for i in range(m):
+        out[i] = cur
+        cur = cur * root % p
+    return out
+
+
+# retained name: callers treat this as "give me the powers table on device"
+def _pows_device(df: DeviceField, root: int, m: int) -> jax.Array:
+    return pows_host(df, root, m)
+
+
+def dispatch_cols(x: jax.Array, chunk: int, jit_for):
+    """Host-chunked dispatch of a per-chunk executable over the leading axis.
+
+    x: concrete [C, ...]; `jit_for(b)` returns a jitted fn for chunk size b.
+    Every dispatch is exactly `chunk` wide (the tail is zero-padded), so ONE
+    executable per op exists, shared by every caller — on a remote-compile
+    TPU service each extra shape variant is a multi-second compile, far more
+    than the padded tail's wasted compute. Returns the [C, ...] result."""
+    C = x.shape[0]
+    if C == 0:
+        return x
+    outs = []
+    i = 0
+    fn = jit_for(chunk)
+    while i < C:
+        piece = jax.lax.slice_in_dim(x, i, min(i + chunk, C), axis=0)
+        if piece.shape[0] < chunk:
+            pad = [(0, chunk - piece.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            piece = jnp.pad(piece, pad)
+        outs.append(fn(piece))
+        i += chunk
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:C] if out.shape[0] != C else out
 
 
 class NTT:
@@ -54,13 +115,14 @@ class NTT:
         self.omega = w
         self.omega_inv = w_inv
         self.n_inv = pow(self.n, p - 2, p)
-        # twiddle tables are built EAGERLY (device power scan): building them
+        # twiddle tables are built EAGERLY (host power chain): building them
         # lazily inside a jit trace would cache tracers
         half = max(self.n // 2, 1)
-        self._tw = {True: _pows_device(df, w, half), False: _pows_device(df, w_inv, half)}
+        self._tw = {True: pows_host(df, w, half), False: pows_host(df, w_inv, half)}
         self.n_inv_mont = df.pack(self.n_inv)
         self._fwd = jax.jit(lambda x: self._mapped(x, True))
         self._bwd = jax.jit(lambda x: self._mapped(x, False))
+        self._chunk_jits: dict = {}
 
     def _table(self, forward: bool) -> jax.Array:
         """[16, n/2] Montgomery twiddles w^k."""
@@ -100,6 +162,13 @@ class NTT:
             n, s = m, 2 * s
         return x
 
+    def _body(self, x: jax.Array, forward: bool) -> jax.Array:
+        """Un-jitted transform incl. the inverse 1/n scaling."""
+        out = self._transform(x, forward)
+        if not forward:
+            out = self.df._mont_mul(out, self.n_inv_mont)
+        return out
+
     def _mapped(self, x: jax.Array, forward: bool) -> jax.Array:
         """Run the transform over fixed-size column chunks (see NTT_CHUNK)."""
         batch = x.shape[:-2]
@@ -125,6 +194,22 @@ class NTT:
         """Coefficients from evaluations, including the 1/n scaling."""
         out = self._bwd(evals)
         return self.df.mont_mul(out, self.n_inv_mont)
+
+    # --- host-chunked batched entry points (compile-shared across callers) ---
+    def _chunk_jit(self, forward: bool, b: int):
+        key = (forward, b)
+        fn = self._chunk_jits.get(key)
+        if fn is None:
+            fn = jax.jit(lambda c: self._body(c, forward))
+            self._chunk_jits[key] = fn
+        return fn
+
+    def forward_cols(self, x: jax.Array) -> jax.Array:
+        """[C, 16, n] -> [C, 16, n], host-chunked (call OUTSIDE jit)."""
+        return dispatch_cols(x, NTT_CHUNK, lambda b: self._chunk_jit(True, b))
+
+    def inverse_cols(self, x: jax.Array) -> jax.Array:
+        return dispatch_cols(x, NTT_CHUNK, lambda b: self._chunk_jit(False, b))
 
 
 def new_ntt(df: DeviceField, log_n: int):
@@ -152,18 +237,6 @@ def _butterfly(df: DeviceField, a, b, w):
     return df._add(a, b), df._mont_mul(df._sub(a, b), w)
 
 
-def _pows_device(df: DeviceField, root: int, m: int) -> jax.Array:
-    """[16, m] Montgomery powers 1, root, ..., root^{m-1} via log-depth scan."""
-    one = jnp.asarray(df.ONE_MONT)[:, None]
-    if m == 1:
-        return one
-    base = jnp.broadcast_to(df.pack(root), (N_LIMBS, m))
-    stacked = jnp.concatenate([one, base[:, :-1]], axis=1)
-    return jax.jit(
-        lambda v: jax.lax.associative_scan(df._mont_mul, v, axis=1)
-    )(stacked)
-
-
 class CosetNTT:
     """Evaluation over the coset g*H used for the quotient polynomial.
 
@@ -178,8 +251,9 @@ class CosetNTT:
         self.df = df
         p = df.field.p
         n = 1 << log_n
-        self.shift_pows = _pows_device(df, shift, n)
-        self.shift_inv_pows = _pows_device(df, pow(shift, p - 2, p), n)
+        self.shift_pows = pows_host(df, shift, n)
+        self.shift_inv_pows = pows_host(df, pow(shift, p - 2, p), n)
+        self._chunk_jits: dict = {}
 
     def forward(self, coeffs: jax.Array) -> jax.Array:
         """Evaluate poly at shift * w^i."""
@@ -189,3 +263,32 @@ class CosetNTT:
     def inverse(self, evals: jax.Array) -> jax.Array:
         coeffs = self.ntt.inverse(evals)
         return self.df.mont_mul(coeffs, self.shift_inv_pows)
+
+    # --- host-chunked batched entry points -----------------------------------
+    def _chunk_jit(self, forward: bool, b: int):
+        key = (forward, b)
+        fn = self._chunk_jits.get(key)
+        if fn is None:
+            if forward:
+                fn = jax.jit(
+                    lambda c: self.ntt._body(
+                        self.df._mont_mul(c, self.shift_pows), True
+                    )
+                )
+            else:
+                fn = jax.jit(
+                    lambda c: self.df._mont_mul(
+                        self.ntt._body(c, False), self.shift_inv_pows
+                    )
+                )
+            self._chunk_jits[key] = fn
+        return fn
+
+    def forward_cols(self, x: jax.Array) -> jax.Array:
+        """[C, 16, n] coeffs -> coset evals, host-chunked (call OUTSIDE jit)."""
+        chunk = getattr(self.ntt, "CHUNK", NTT_CHUNK)
+        return dispatch_cols(x, chunk, lambda b: self._chunk_jit(True, b))
+
+    def inverse_cols(self, x: jax.Array) -> jax.Array:
+        chunk = getattr(self.ntt, "CHUNK", NTT_CHUNK)
+        return dispatch_cols(x, chunk, lambda b: self._chunk_jit(False, b))

@@ -231,18 +231,19 @@ class MxuNTT:
             p = self.df.p_int
             w = self.omega if forward else self.omega_inv
             N1, N2 = 1 << self.k1, 1 << self.k2
-            from .ntt import _pows_device
+            from .ntt import pows_host
 
-            pows = _pows_device(self.df, w, self.n)  # [16, n] Montgomery
+            # host power chain + numpy gather: no device compiles at all
+            pows = pows_host(self.df, w, self.n, device=False)  # np [16, n]
             ij = (
                 np.arange(N1, dtype=np.int64)[:, None]
                 * np.arange(N2, dtype=np.int64)[None, :]
             ) % self.n
-            tw = jax.jit(
-                lambda t, e: jnp.take(t, e.reshape(-1), axis=1).reshape(
+            tw = jnp.asarray(
+                np.ascontiguousarray(pows[:, ij.reshape(-1)]).reshape(
                     N_LIMBS, N1, N2
                 )
-            )(pows, jnp.asarray(ij.astype(np.int32)))
+            )
             if self.sub is None:
                 w1 = _dft_planes(p, pow(w, N2, p), N1)
                 w2 = _dft_planes(p, pow(w, N1, p), N2)
@@ -307,6 +308,34 @@ class MxuNTT:
     def inverse(self, evals: jax.Array) -> jax.Array:
         out = self._bwd(evals)
         return self.df.mont_mul(out, self.n_inv_mont)
+
+    # --- host-chunked batched entry points (see ops/ntt.py) -------------------
+    def _body(self, x: jax.Array, forward: bool) -> jax.Array:
+        out = self._transform(x, forward)
+        if not forward:
+            out = self.df._mont_mul(out, self.n_inv_mont)
+        return out
+
+    def _chunk_jit(self, forward: bool, b: int):
+        if not hasattr(self, "_chunk_jits"):
+            self._chunk_jits = {}
+        key = (forward, b)
+        fn = self._chunk_jits.get(key)
+        if fn is None:
+            fn = jax.jit(lambda c: self._body(c, forward))
+            self._chunk_jits[key] = fn
+        return fn
+
+    def forward_cols(self, x: jax.Array) -> jax.Array:
+        """[C, 16, n] -> [C, 16, n], host-chunked (call OUTSIDE jit)."""
+        from .ntt import dispatch_cols
+
+        return dispatch_cols(x, self.CHUNK, lambda b: self._chunk_jit(True, b))
+
+    def inverse_cols(self, x: jax.Array) -> jax.Array:
+        from .ntt import dispatch_cols
+
+        return dispatch_cols(x, self.CHUNK, lambda b: self._chunk_jit(False, b))
 
 
 def _stage_limbs(df: DeviceField, planes: jax.Array, X: jax.Array) -> jax.Array:

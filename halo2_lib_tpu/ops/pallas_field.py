@@ -74,6 +74,13 @@ def _roll(x, shift, axis):
 # --- in-kernel field helpers (values are uint32[..., 16|40, B]) ----------
 
 
+def _pad_rows(x, before, after):
+    """Zero-pad the sublane (row) axis."""
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (before, after)
+    return jnp.pad(x, pad)
+
+
 def _conv(at, bt):
     """Product columns of two limb-major values: [..., 16, B] -> [..., 40, B].
 
@@ -140,12 +147,32 @@ def _conv_const(at, c):
     return cols
 
 
+def _conv_const_low(at, c):
+    """Low 16 columns of _conv_const only: [..., 16, B] -> [..., 16, B].
+
+    Montgomery's m = (T mod R) * n' mod R needs just cols 0..15, so terms
+    with i+j >= 16 (over half the multiply volume and ALL the wide-tile
+    traffic) are never computed. Column sums stay < 2^21.
+    """
+    cols = None
+    for i in range(N_LIMBS):
+        if not c[i]:
+            continue
+        w = N_LIMBS - i  # rows j < w contribute to cols i+j < 16
+        prod = jnp.uint32(c[i]) * at[..., :w, :]  # [..., w, B]
+        comb = _pad_rows(prod & MASK, 0, 1) + _pad_rows(prod >> LIMB_BITS, 1, 0)
+        comb = comb[..., :w, :]  # drop col 16's row (i + w = 16)
+        cc = _pad_rows(comb, i, 0)  # rows i..15
+        cols = cc if cols is None else cols + cc
+    return cols
+
+
 def _mont_mul_t(at, bt, consts):
     """SOS Montgomery product on limb-major values [..., 16, B]."""
     nprime, p_rows, p17 = consts
     T = _conv(at, bt)
     t_lo, _ = _normalize_low(T, N_LIMBS)
-    m_cols = _conv_const(_stack_rows(t_lo), nprime)
+    m_cols = _conv_const_low(_stack_rows(t_lo), nprime)
     m, _ = _normalize_low(m_cols, N_LIMBS)
     U = _conv_const(_stack_rows(m), p_rows)
     S = T + U

@@ -115,7 +115,7 @@ class ShardedNTT:
     """
 
     def __init__(self, df: DeviceField, k: int, mesh: Mesh):
-        from ..ops.ntt import NTT, _pows_device
+        from ..ops.ntt import NTT, pows_host
 
         self.df = df
         self.mesh = mesh
@@ -127,19 +127,15 @@ class ShardedNTT:
         self.n2 = 1 << (k - k1)
         self.ntt1 = NTT(df, k1)
         self.ntt2 = NTT(df, k - k1)
-        # twiddle matrix W^(i*j) for i < n1, j < n2: one device power scan to
-        # w^0..w^{n-1}, then a lane gather at exponents (i*j) mod n — no O(n)
-        # host bigint loop.
-        pows = _pows_device(df, df.field.nth_root_of_unity(k), self.n)  # [16, n]
+        # twiddle matrix W^(i*j), stored [n2, 16, n1] so the scale multiply
+        # sees the limb axis at -2 (the limb-major contract of ops/limbs.py).
+        pows = pows_host(df, df.field.nth_root_of_unity(k), self.n, device=False)
         ij = (
-            np.arange(self.n1, dtype=np.int64)[:, None]
-            * np.arange(self.n2, dtype=np.int64)[None, :]
+            np.arange(self.n2, dtype=np.int64)[:, None]
+            * np.arange(self.n1, dtype=np.int64)[None, :]
         ) % self.n
-        self.twiddle = jax.jit(
-            lambda p, e: jnp.take(p, e.reshape(-1), axis=1).reshape(
-                N_LIMBS, self.n1, self.n2
-            )
-        )(pows, jnp.asarray(ij.astype(np.int32)))
+        tw = pows[:, ij.reshape(-1)].reshape(N_LIMBS, self.n2, self.n1)
+        self.twiddle = jnp.asarray(np.ascontiguousarray(tw.transpose(1, 0, 2)))
 
     def forward(self, coeffs):
         """coeffs [16, n] -> evals in natural order [16, n]."""
@@ -155,15 +151,16 @@ class ShardedNTT:
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(None, None, axis), P(None, None, axis)),
+            in_specs=(P(None, None, axis), P(axis, None, None)),
             out_specs=P(None, axis, None),
             check_rep=False,
         )
         def step(a, tw):
-            # step 1: size-n1 NTT along axis 1 (columns are local)
-            b = self.ntt1._transform(a.transpose(2, 0, 1), True).transpose(1, 2, 0)
-            # step 2: twiddle scale
-            b = df._mont_mul(b, tw)
+            # step 1: size-n1 NTT along axis 1 (columns are local); keep the
+            # column-leading [n2/d, 16, n1] layout (limbs at -2) for step 2
+            b = self.ntt1._transform(a.transpose(2, 0, 1), True)
+            # step 2: twiddle scale (tw shard is [n2/d, 16, n1])
+            b = df._mont_mul(b, tw).transpose(1, 2, 0)  # -> [16, n1, n2/d]
             # step 3: transpose via all_to_all: [16, n1, n2/d] -> [16, n1/d, n2]
             b = jax.lax.all_to_all(b, axis, split_axis=1, concat_axis=2, tiled=True)
             # step 4: size-n2 NTT along axis 2 (rows are local)

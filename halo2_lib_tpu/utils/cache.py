@@ -53,6 +53,15 @@ def enable_persistent_cache() -> None:
             return  # respect an explicitly configured cache (e.g. test conftest)
 
         path = os.environ.get("HALO2_TPU_JAX_CACHE")
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        if not path and ("tpu" in platforms or "axon" in platforms):
+            # TPU runs default to a repo-local cache: TPU executables are
+            # keyed by (module, compiler version, topology) — host CPU flags
+            # are irrelevant — so entries warmed in one session serve every
+            # later run on the same TPU generation (including CI/bench runs
+            # in fresh containers). Stale entries simply miss.
+            repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            path = os.path.join(repo, "params", "xla_cache")
         if not path:
             base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
             path = os.path.join(base, "halo2_lib_tpu", f"xla_{_host_fingerprint()}")

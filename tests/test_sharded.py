@@ -13,6 +13,17 @@ from halo2_lib_tpu.utils.curves import BN254_G1
 from halo2_lib_tpu.utils.fields import FR_BN254
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """Serializing the big multi-device shard_map executables into the
+    persistent compile cache segfaults XLA:CPU (put_executable_and_time);
+    raise the write threshold so sharded-test executables are never stored."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
