@@ -25,13 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_ECDSA_K15_S = 1.98
 
 
-def build_ecdsa_builder(k: int, lookup_bits: int):
+def ecdsa_test_inputs():
     import random
 
-    from halo2_lib_tpu.ecc.ec import EccChip
-    from halo2_lib_tpu.ecc.ecdsa import ecdsa_sign, ecdsa_verify_no_pubkey_check
-    from halo2_lib_tpu.ecc.fp import FpChip
-    from halo2_lib_tpu.gates.circuit import BaseCircuitBuilder, CircuitBuilderStage
+    from halo2_lib_tpu.ecc.ecdsa import ecdsa_sign
     from halo2_lib_tpu.utils.curves import SECP256K1
 
     rng = random.Random(42)
@@ -41,9 +38,17 @@ def build_ecdsa_builder(k: int, lookup_bits: int):
     msghash = rng.randrange(1, n.p)
     nonce = rng.randrange(1, n.p)
     r, s = ecdsa_sign(SECP256K1, priv, msghash, nonce)
+    return pub, r, s, msghash
 
-    builder = BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(k)
-    builder.set_lookup_bits(lookup_bits)
+
+def ecdsa_witness(builder, inputs):
+    """Run the ECDSA-verify witness logic on a builder (MOCK or PROVER stage)."""
+    from halo2_lib_tpu.ecc.ec import EccChip
+    from halo2_lib_tpu.ecc.ecdsa import ecdsa_verify_no_pubkey_check
+    from halo2_lib_tpu.ecc.fp import FpChip
+    from halo2_lib_tpu.utils.curves import SECP256K1
+
+    pub, r, s, msghash = inputs
     range_chip = builder.range_chip()
     fp_chip = FpChip(range_chip, 88, 3, SECP256K1.base)
     fq_chip = FpChip(range_chip, 88, 3, SECP256K1.scalar)
@@ -55,6 +60,15 @@ def build_ecdsa_builder(k: int, lookup_bits: int):
     m_a = fq_chip.load_private(ctx, msghash)
     out = ecdsa_verify_no_pubkey_check(chip, ctx, pk_pt, r_a, s_a, m_a, 4, 4)
     assert out.val() == 1
+    return builder
+
+
+def build_ecdsa_builder(k: int, lookup_bits: int):
+    from halo2_lib_tpu.gates.circuit import BaseCircuitBuilder, CircuitBuilderStage
+
+    builder = BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(k)
+    builder.set_lookup_bits(lookup_bits)
+    ecdsa_witness(builder, ecdsa_test_inputs())
     builder.calculate_params(minimum_rows=9)
     p = builder.config_params
     p.num_advice_per_phase[0] = max(p.num_advice_per_phase[0], 2)
@@ -70,29 +84,42 @@ def _mark(label: str, t0: float) -> float:
 
 
 def bench_ecdsa(k: int) -> dict:
+    """Honest end-to-end proving latency: the timed region re-generates the
+    witness on a pinned PROVER-stage builder and runs create_proof (which
+    synthesizes the circuit internally) — exactly what the reference's
+    1.98 s covers (`base_test().bench_builder`, utils/testing.rs:198-247:
+    the prover path re-runs the witness closure inside the timed proof)."""
     import halo2_lib_tpu.backend.prover as prover_mod
     from halo2_lib_tpu.backend.keygen import keygen
     from halo2_lib_tpu.backend.kzg import gen_srs
     from halo2_lib_tpu.backend.prover import create_proof
     from halo2_lib_tpu.backend.verifier import verify_proof
+    from halo2_lib_tpu.utils.pinning import pinning_of
 
+    inputs = ecdsa_test_inputs()
     t = time.time()
     params = gen_srs(k)
     t = _mark("gen_srs", t)
-    t0 = time.time()
     builder = build_ecdsa_builder(k, k - 1)
-    witgen_s = time.time() - t0
-    t = _mark("witness gen", t)
-    t0 = time.time()
+    t = _mark("keygen witness gen", t)
     circuit = builder.synthesize()
-    synth_s = time.time() - t0
     t = _mark("synthesize", t)
     pk = keygen(params, builder, circuit)
+    pinning = pinning_of(builder)
     t = _mark("keygen", t)
 
-    # warmup (pays XLA compiles), then timed run with stage breakdown
-    proof = create_proof(params, pk, circuit)
-    t = _mark("create_proof warmup", t)
+    def e2e() -> tuple[bytes, float, float]:
+        """(proof, total seconds, witness-gen seconds)."""
+        t0 = time.time()
+        pb = pinning.prover_builder()
+        ecdsa_witness(pb, inputs)
+        witgen = time.time() - t0
+        proof = create_proof(params, pk, pb)
+        return proof, time.time() - t0, witgen
+
+    # warmup (pays XLA compiles), then the timed run with stage breakdown
+    proof, _, _ = e2e()
+    t = _mark("e2e warmup", t)
     stages: dict[str, float] = {}
     orig_stage = prover_mod._stage
     orig_debug = prover_mod._DEBUG
@@ -104,21 +131,19 @@ def bench_ecdsa(k: int) -> dict:
 
     prover_mod._stage = timed_stage
     prover_mod._DEBUG = False
-    t0 = time.time()
-    proof = create_proof(params, pk, circuit)
-    dt = time.time() - t0
+    proof, dt, witgen_s = e2e()
     prover_mod._stage = orig_stage
     prover_mod._DEBUG = orig_debug
     assert verify_proof(params, pk.vk, proof)
     return {
-        "metric": f"ecdsa_create_proof_k{k}_latency",
+        "metric": f"ecdsa_prove_e2e_k{k}_latency",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_ECDSA_K15_S / dt, 4),
         "extra": {
             "stages_s": stages,
             "witness_gen_s": round(witgen_s, 3),
-            "synthesize_s": round(synth_s, 3),
+            "create_proof_s": round(dt - witgen_s, 3),
         },
     }
 

@@ -72,10 +72,13 @@ class VerifyingKey:
     # challenge squeeze (halo2 challenge phases, flex_gate/mod.rs:63-67)
     num_advice_per_phase: list[int] = dc_field(default_factory=list)
     num_lookup_per_phase: list[int] = dc_field(default_factory=list)
-    # challenge pins: (challenge index, flat advice col) + the q_chal fixed
-    # column commitments enforcing q * (a - challenge) = 0
+    # challenge pins: (challenge index, flat advice col, row). The constraint
+    # L_row(X) * (a_col(X) - challenge) = 0 is STRUCTURAL — like halo2's
+    # Challenge API, the challenge is a symbol in the constraint system and
+    # no extra fixed column or commitment exists for it; the verifier
+    # computes L_row(x) in closed form (flex_gate/mod.rs:63-67 challenge
+    # usage; virtual_region/tests/lookups/memory.rs).
     challenge_pins: list = dc_field(default_factory=list)
-    chal_q_commitments: list = dc_field(default_factory=list)
     # dynamic lookups: KEY_COL per set; per set two fixed is_enabled columns
     # (key_en, table_en) committed in dynen order [set0 key, set0 table, ...]
     dyn_key_cols: list = dc_field(default_factory=list)
@@ -95,7 +98,7 @@ class VerifyingKey:
                 b += p[0].to_bytes(32, "little") + p[1].to_bytes(32, "little")
             return b
 
-        out = bytearray(b"halo2_lib_tpu_vk_v2")
+        out = bytearray(b"halo2_lib_tpu_vk_v3")
         for v in (
             self.k, self.params_n, self.num_advice, self.num_lookup,
             self.num_fixed, self.num_instance,
@@ -112,8 +115,12 @@ class VerifyingKey:
             out += c.kind.encode() + b"\x00"
             out += int(c.index).to_bytes(4, "little") + int(c.phase).to_bytes(4, "little")
         out += len(self.challenge_pins).to_bytes(4, "little")
-        for c, col in self.challenge_pins:
-            out += int(c).to_bytes(4, "little") + int(col).to_bytes(4, "little")
+        for c, col, row in self.challenge_pins:
+            out += (
+                int(c).to_bytes(4, "little")
+                + int(col).to_bytes(4, "little")
+                + int(row).to_bytes(4, "little")
+            )
         out += len(self.dyn_key_cols).to_bytes(4, "little")
         for kc in self.dyn_key_cols:
             out += int(kc).to_bytes(4, "little")
@@ -122,7 +129,6 @@ class VerifyingKey:
             self.fixed_commitments,
             [self.table_commitment, self.q_lookup_commitment],
             self.permutation_commitments,
-            self.chal_q_commitments,
             self.dynen_commitments,
         ):
             out += len(group).to_bytes(4, "little")
@@ -147,7 +153,6 @@ class ProvingKey:
     perm_values: object  # sigma columns, uint32[ncols, 16, n] device Montgomery tensor
     break_points: list[list[int]]
     config_params: object
-    chal_q_cols: list[list[int]] = dc_field(default_factory=list)
     dynen_cols: list[list[int]] = dc_field(default_factory=list)
     # dyn advice column values are witness data, re-derived per proof
 
@@ -356,19 +361,17 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     nc_arr, nr_arr = _build_permutation(circuit, n, perm_cols)
     _kstage("permutation cycles")
 
-    # challenge pin columns: q_chal_c has a single 1 at the pinned row;
-    # constraint q_chal_c * (advice_col - challenge_c) = 0 (gates/circuit.py
-    # constrain_challenge)
+    # challenge pins: the structural constraint L_row * (a_col - challenge)
+    # (gates/circuit.py constrain_challenge). No fixed column, no commitment:
+    # (c, flat col, row) in the vk bytes IS the constraint — the challenge is
+    # a queryable symbol of the constraint system, matching halo2's Challenge
+    # API shape, and the vk column inventory equals the single-phase one.
     adv_phase_offsets = [0]
     for cnt in na_p:
         adv_phase_offsets.append(adv_phase_offsets[-1] + cnt)
-    challenge_pins: list[tuple[int, int]] = []
-    chal_q_cols: list[list[int]] = []
+    challenge_pins: list[tuple[int, int, int]] = []
     for c, phase, col, row in circuit.challenge_pins:
-        q = [0] * n
-        q[row] = 1
-        chal_q_cols.append(q)
-        challenge_pins.append((c, adv_phase_offsets[phase] + col))
+        challenge_pins.append((c, adv_phase_offsets[phase] + col, row))
 
     # dynamic-lookup fixed is_enabled columns ([set0 key_en, set0 table_en, ...])
     dyn_key_cols = [s["key_col"] for s in circuit.dyn_sets]
@@ -392,7 +395,6 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
         all_cols.append(table_col)
     if q_lookup_col is not None:
         all_cols.append(q_lookup_col)
-    all_cols.extend(chal_q_cols)
     all_cols.extend(dynen_cols)
     df = dom.df
     dc = params.device_curve()
@@ -404,10 +406,15 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     _kstage("u16 packing")
     bases = params.affine_lagrange_bases()
     _kstage("lagrange base packing")
-    # commit via the shared chunked MSM + to_mont executables (compiled once,
-    # reused by every prover stage — see ParamsKZG.commit_columns)
-    all_lag = jnp.concatenate([_lag_from_u16(df, cols_u16), sigma_mont], axis=0)
-    pts = _host_points(dc, params.commit_columns(df, all_lag, bases))
+    # commit via the native threaded Pippenger for the host int columns (no
+    # XLA compile, overlaps the device upload) and the shared device path
+    # for the device-resident sigma tensor (ParamsKZG.commit_columns)
+    if params.host_ints_commit_wanted(n) and all_cols:
+        pts = list(_host_points(dc, params.commit_host_ints(all_cols, True)))
+        pts += _host_points(dc, params.commit_columns(df, sigma_mont, bases))
+    else:
+        all_lag = jnp.concatenate([_lag_from_u16(df, cols_u16), sigma_mont], axis=0)
+        pts = _host_points(dc, params.commit_columns(df, all_lag, bases))
     _kstage("commit dispatch")
     nsigma = len(perm_cols)
     o = 0
@@ -423,8 +430,6 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
     if q_lookup_col is not None:
         q_lookup_commitment = pts[o]
         o += 1
-    chal_q_commitments = pts[o : o + len(chal_q_cols)]
-    o += len(chal_q_cols)
     dynen_commitments = pts[o : o + len(dynen_cols)]
     o += len(dynen_cols)
     permutation_commitments = pts[o : o + nsigma]
@@ -447,7 +452,6 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
         permutation_commitments=permutation_commitments,
         perm_columns=perm_cols,
         challenge_pins=challenge_pins,
-        chal_q_commitments=chal_q_commitments,
         dyn_key_cols=dyn_key_cols,
         dynen_commitments=dynen_commitments,
     )
@@ -465,6 +469,5 @@ def keygen(params: ParamsKZG, builder: BaseCircuitBuilder, circuit: PhysicalCirc
         perm_values=sigma_mont,
         break_points=break_points,
         config_params=circuit.params,
-        chal_q_cols=chal_q_cols,
         dynen_cols=dynen_cols,
     )

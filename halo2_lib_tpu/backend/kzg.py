@@ -29,11 +29,20 @@ import jax.numpy as jnp
 
 from ..ops.ec_device import DeviceCurve, msm_device, msm_many_device
 from ..ops.limbs import N_LIMBS, DeviceField
-from ..utils.curves import BN254_G1, BN254_G2
-from ..utils.fields import FR_BN254
+from ..utils.curves import BN254_G1, BN254_G2, FQ2_BN254, BN254_G2_B
+from ..utils.fields import FQ_BN254, FR_BN254
 
 # Column-chunk width for the shared commit jit (see ParamsKZG.commit_columns).
 COMMIT_CHUNK = 8
+
+# Compile-light commit path for small columns: batched MSB-first
+# double-and-add over the scalar bit rows costs ~8x the field multiplies of
+# Pippenger but traces every EC op exactly ONCE — on a cold host the
+# Pippenger executable is minutes of XLA compile (measured 270 s for the
+# k=8 keygen dispatch on an 8-CPU mesh), which dominated the prover test
+# tier and the multichip dryrun. At m <= this bound the runtime difference
+# is milliseconds; the big-m benches keep the Pippenger kernel.
+COMMIT_SIMPLE_MAX = int(os.environ.get("HALO2_COMMIT_SIMPLE_MAX", "1024"))
 
 _SRS_MAGIC_V1 = b"H2TPUSRS"
 _SRS_MAGIC_V2 = b"H2TPUSR2"  # v2: adds the Lagrange basis
@@ -42,6 +51,95 @@ _SRS_MAGIC = b"H2TPUSR3"  # v3: tau drawn from ChaCha20Rng(seed 0), like the ref
 
 def _params_dir() -> str:
     return os.environ.get("PARAMS_DIR", os.path.join(os.getcwd(), "params"))
+
+
+# --- halo2curves point encodings (Processed format) -------------------------
+# Compressed G1: 32 bytes canonical x LE, y-parity in bit 255; identity =
+# all-zero. Compressed G2: 64 bytes x.c0 || x.c1 LE, y.c0-parity in bit 511.
+# (halo2curves-axiom new_curve_impl to_bytes/from_bytes.)
+
+
+def _g1_compress(pt) -> bytes:
+    if pt is None:
+        return b"\x00" * 32
+    raw = bytearray(pt[0].to_bytes(32, "little"))
+    if pt[1] & 1:
+        raw[31] |= 0x80
+    return bytes(raw)
+
+
+def _g1_decompress(raw: bytes):
+    if raw == b"\x00" * 32:
+        return None
+    q = FQ_BN254.p
+    sign = (raw[31] >> 7) & 1
+    x = int.from_bytes(raw[:31] + bytes([raw[31] & 0x7F]), "little")
+    if x >= q:
+        raise ValueError("SRS: non-canonical G1 x")
+    rhs = (x * x * x + BN254_G1.b) % q
+    y = pow(rhs, (q + 1) // 4, q)
+    if y * y % q != rhs:
+        raise ValueError("SRS: G1 point not on curve")
+    if (y & 1) != sign:
+        y = q - y
+    return (x, y)
+
+
+def _g2_compress(pt) -> bytes:
+    if pt is None:
+        return b"\x00" * 64
+    (x, y) = pt
+    raw = bytearray(x[0].to_bytes(32, "little") + x[1].to_bytes(32, "little"))
+    if y[0] & 1:
+        raw[63] |= 0x80
+    return bytes(raw)
+
+
+def _fq2_sqrt(a):
+    """sqrt in Fq[u]/(u^2+1), q = 3 mod 4 (complex method); None if non-residue."""
+    F = FQ_BN254
+    q = F.p
+    a0, a1 = a
+    if a1 == 0:
+        r = F.sqrt(a0)
+        if r is not None:
+            return (r, 0)
+        r = F.sqrt((-a0) % q)  # a0 = -r^2 -> sqrt = r * u
+        return None if r is None else (0, r)
+    alpha = (a0 * a0 + a1 * a1) % q  # norm (u^2 = -1)
+    delta = F.sqrt(alpha)
+    if delta is None:
+        return None
+    inv2 = pow(2, -1, q)
+    x0sq = (a0 + delta) * inv2 % q
+    x0 = F.sqrt(x0sq)
+    if x0 is None:
+        x0sq = (a0 - delta) * inv2 % q
+        x0 = F.sqrt(x0sq)
+        if x0 is None:
+            return None
+    x1 = a1 * pow(2 * x0 % q, -1, q) % q
+    return (x0, x1)
+
+
+def _g2_decompress(raw: bytes):
+    if raw == b"\x00" * 64:
+        return None
+    q = FQ_BN254.p
+    sign = (raw[63] >> 7) & 1
+    x0 = int.from_bytes(raw[:32], "little")
+    x1 = int.from_bytes(raw[32:63] + bytes([raw[63] & 0x7F]), "little")
+    if x0 >= q or x1 >= q:
+        raise ValueError("SRS: non-canonical G2 x")
+    f = FQ2_BN254
+    x = (x0, x1)
+    rhs = f.add(f.mul(f.square(x), x), BN254_G2_B)
+    y = _fq2_sqrt(rhs)
+    if y is None:
+        raise ValueError("SRS: G2 point not on curve")
+    if (y[0] & 1) != sign:
+        y = f.neg(y)
+    return (x, y)
 
 
 def _batch_inv_host(vals: list[int], p: int) -> list[int]:
@@ -121,18 +219,80 @@ class ParamsKZG:
         return ParamsKZG(k, g, g_lagrange, g2, s_g2)
 
     # --- disk cache -------------------------------------------------------------
+    # On-disk format: halo2-axiom's `ParamsKZG::<Bn256>::write` (RawBytes),
+    # byte-for-byte — `k` as u32 LE, then `g`, `g_lagrange` as 64-byte raw
+    # points (x, y each 32 bytes LE in MONTGOMERY form, R = 2^256), then
+    # `g2`, `s_g2` as 128-byte raw G2 points (x.c0, x.c1, y.c0, y.c1).
+    # Files written by the reference's `gen_srs` load here and vice versa
+    # (halo2-axiom kzg/commitment.rs write_custom; SerdeObject::write_raw
+    # writes the internal Montgomery limbs). `read` additionally accepts
+    # halo2's Processed format (32-byte compressed points, canonical form)
+    # and this repo's legacy H2TPUSR3 container.
+
     def write(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
-            f.write(_SRS_MAGIC)
-            f.write(self.k.to_bytes(4, "little"))
+            f.write(self.to_halo2_bytes())
+
+    def to_halo2_bytes(self, raw: bool = True) -> bytes:
+        q = FQ_BN254.p
+        out = bytearray(self.k.to_bytes(4, "little"))
+        if raw:
+            enc = lambda c: ((c << 256) % q).to_bytes(32, "little")
             for basis in (self.g, self.g_lagrange):
                 for pt in basis:
-                    f.write(pt[0].to_bytes(32, "little") + pt[1].to_bytes(32, "little"))
+                    out += enc(pt[0]) + enc(pt[1])
+            for (x, y) in (self.g2, self.s_g2):
+                out += enc(x[0]) + enc(x[1]) + enc(y[0]) + enc(y[1])
+        else:  # Processed: compressed canonical points (halo2curves to_bytes)
+            for basis in (self.g, self.g_lagrange):
+                for pt in basis:
+                    out += _g1_compress(pt)
             for pt in (self.g2, self.s_g2):
-                (x, y) = pt
-                for c in (x[0], x[1], y[0], y[1]):
-                    f.write(c.to_bytes(32, "little"))
+                out += _g2_compress(pt)
+        return bytes(out)
+
+    @staticmethod
+    def from_halo2_bytes(data: bytes) -> "ParamsKZG":
+        q = FQ_BN254.p
+        k = int.from_bytes(data[:4], "little")
+        if not (1 <= k <= 28):
+            raise ValueError(f"SRS header: implausible k={k}")
+        n = 1 << k
+        raw_size = 4 + 2 * n * 64 + 2 * 128
+        proc_size = 4 + 2 * n * 32 + 2 * 64
+        if len(data) == raw_size:
+            rinv = pow(1 << 256, -1, q)
+            dec = lambda off: int.from_bytes(data[off : off + 32], "little") * rinv % q
+            bases = []
+            off = 4
+            for _ in range(2):
+                pts = []
+                for _ in range(n):
+                    pts.append((dec(off), dec(off + 32)))
+                    off += 64
+                bases.append(pts)
+            pts2 = []
+            for _ in range(2):
+                cs = [dec(off + 32 * i) for i in range(4)]
+                pts2.append(((cs[0], cs[1]), (cs[2], cs[3])))
+                off += 128
+        elif len(data) == proc_size:
+            bases = []
+            off = 4
+            for _ in range(2):
+                pts = []
+                for _ in range(n):
+                    pts.append(_g1_decompress(data[off : off + 32]))
+                    off += 32
+                bases.append(pts)
+            pts2 = []
+            for _ in range(2):
+                pts2.append(_g2_decompress(data[off : off + 64]))
+                off += 64
+        else:
+            raise ValueError("SRS file size matches neither RawBytes nor Processed")
+        return ParamsKZG(k, bases[0], bases[1], pts2[0], pts2[1])
 
     @staticmethod
     def read(path: str) -> "ParamsKZG":
@@ -140,25 +300,29 @@ class ParamsKZG:
             data = f.read()
         if data[:8] in (_SRS_MAGIC_V1, _SRS_MAGIC_V2):
             raise ValueError("stale SRS file format; regenerate")
-        assert data[:8] == _SRS_MAGIC, "bad SRS file"
-        k = int.from_bytes(data[8:12], "little")
-        n = 1 << k
-        off = 12
-        bases = []
-        for _ in range(2):
-            pts = []
-            for _ in range(n):
-                x = int.from_bytes(data[off : off + 32], "little")
-                y = int.from_bytes(data[off + 32 : off + 64], "little")
-                pts.append((x, y))
-                off += 64
-            bases.append(pts)
-        pts2 = []
-        for _ in range(2):
-            cs = [int.from_bytes(data[off + 32 * i : off + 32 * (i + 1)], "little") for i in range(4)]
-            pts2.append(((cs[0], cs[1]), (cs[2], cs[3])))
-            off += 128
-        return ParamsKZG(k, bases[0], bases[1], pts2[0], pts2[1])
+        if data[:8] == _SRS_MAGIC:  # legacy repo container
+            k = int.from_bytes(data[8:12], "little")
+            n = 1 << k
+            off = 12
+            bases = []
+            for _ in range(2):
+                pts = []
+                for _ in range(n):
+                    x = int.from_bytes(data[off : off + 32], "little")
+                    y = int.from_bytes(data[off + 32 : off + 64], "little")
+                    pts.append((x, y))
+                    off += 64
+                bases.append(pts)
+            pts2 = []
+            for _ in range(2):
+                cs = [
+                    int.from_bytes(data[off + 32 * i : off + 32 * (i + 1)], "little")
+                    for i in range(4)
+                ]
+                pts2.append(((cs[0], cs[1]), (cs[2], cs[3])))
+                off += 128
+            return ParamsKZG(k, bases[0], bases[1], pts2[0], pts2[1])
+        return ParamsKZG.from_halo2_bytes(data)
 
     # --- commitments ---------------------------------------------------------------
     def device_curve(self) -> DeviceCurve:
@@ -183,10 +347,126 @@ class ParamsKZG:
             self._lag_affine = self.device_curve().pack_points_affine(self.g_lagrange)
         return self._lag_affine
 
+    # --- native (C, threaded Pippenger) commitment path --------------------
+    # The role of halo2-axiom's rayon-parallel commit MSMs. Two wins:
+    #  * host-resident columns (witness ints) commit with ZERO device traffic
+    #    and overlap the async device upload/to_mont of the same columns;
+    #  * no XLA compile at all — the device MSM executable alone is minutes
+    #    of cold XLA:CPU compile, which dominated the test tier and the
+    #    multichip dryrun.
+
+    def _native_msm(self):
+        if os.environ.get("HALO2_HOST_MSM") == "0":
+            return None
+        from ..native import get_native
+
+        nat = get_native()
+        return nat if nat is not None and hasattr(nat, "msm_commit") else None
+
+    def _host_msm_wanted(self, m: int) -> bool:
+        """Heuristic for DEVICE-resident columns: always on CPU backends
+        (compile cost rules), small columns elsewhere (fetch is cheap)."""
+        if self._native_msm() is None:
+            return False
+        if os.environ.get("HALO2_HOST_MSM") == "1":
+            return True
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return True
+        return m <= 1024
+
+    def host_ints_commit_wanted(self, m: int) -> bool:
+        """Host-resident int columns: no fetch needed, so the native path is
+        preferred up to a size bound (threads overlap the async device
+        upload of the same columns)."""
+        if self._native_msm() is None:
+            return False
+        if os.environ.get("HALO2_HOST_MSM") == "1":
+            return True
+        return m <= int(os.environ.get("HALO2_HOST_MSM_INTS_MAX", "65536"))
+
+    def _msm_base_blob(self, lagrange: bool) -> bytes:
+        attr = "_base_blob_lag" if lagrange else "_base_blob_mono"
+        blob = getattr(self, attr, None)
+        if blob is None:
+            nat = self._native_msm()
+            pts = self.g_lagrange if lagrange else self.g
+            xy = nat.pack_limbs16([c for pt in pts for c in pt])
+            q = FQ_BN254.p
+            blob = nat.msm_pack_bases(
+                q.to_bytes(32, "little"),
+                (pow(2, 512, q)).to_bytes(32, "little"),
+                xy,
+            )
+            setattr(self, attr, blob)
+        return blob
+
+    def commit_host_ints(self, cols: list[list[int]], lagrange: bool):
+        """Commit host int columns via the native threaded Pippenger.
+
+        Returns uint32[C, 33] (x|y 16-bit limbs + inf flag), the same packed
+        layout as commit_columns. None if the native engine is unavailable."""
+        import numpy as np
+
+        nat = self._native_msm()
+        if nat is None:
+            return None
+        if not cols:
+            return np.zeros((0, 33), dtype=np.uint32)
+        m = len(cols[0])
+        q = FQ_BN254.p
+        scal = nat.pack_limbs16([v for col in cols for v in col])
+        out = nat.msm_commit(
+            q.to_bytes(32, "little"),
+            (pow(2, 512, q)).to_bytes(32, "little"),
+            self._msm_base_blob(lagrange),
+            scal,
+            m,
+            len(cols),
+            os.cpu_count() or 4,
+        )
+        return np.frombuffer(out, dtype="<u4").reshape(len(cols), 33)
+
+    _FROM_MONT_JITS: dict = {}
+
+    def _commit_host_tensor(self, fr_df, vals_mont, lagrange: bool):
+        """Device Montgomery columns [C, 16, m] -> native commit (fetch +
+        de-mont; used where the column was computed on device)."""
+        import numpy as np
+
+        import jax
+
+        from ..ops.ntt import dispatch_cols
+
+        nat = self._native_msm()
+        key = fr_df.p_int
+        fn = ParamsKZG._FROM_MONT_JITS.get(key)
+        if fn is None:
+            fn = jax.jit(fr_df._from_mont)
+            ParamsKZG._FROM_MONT_JITS[key] = fn
+        canon = dispatch_cols(vals_mont, COMMIT_CHUNK, lambda b: fn)
+        arr = np.asarray(jax.device_get(canon))  # [C, 16, m] u32 canonical
+        C, _, m = arr.shape
+        scal = np.ascontiguousarray(arr.transpose(0, 2, 1)).astype("<u2").tobytes()
+        q = FQ_BN254.p
+        out = nat.msm_commit(
+            q.to_bytes(32, "little"),
+            (pow(2, 512, q)).to_bytes(32, "little"),
+            self._msm_base_blob(lagrange),
+            scal,
+            m,
+            C,
+            os.cpu_count() or 4,
+        )
+        return np.frombuffer(out, dtype="<u4").reshape(C, 33)
+
     def _commit_chunk_jit(self, fr_df, m: int, window_bits: int):
         """One jitted `[b, 16, m] columns + bases -> [b, 33] packed affine`
         executable per (m, window_bits), shared by every chunk size via the
-        leading-axis shape (chunk widths are pow2-bucketed by the caller)."""
+        leading-axis shape (chunk widths are pow2-bucketed by the caller).
+        Small m dispatches the compile-light double-and-add kernel (see
+        COMMIT_SIMPLE_MAX)."""
         key = (m, window_bits)
         fn = self._commit_jits.get(key)
         if fn is None:
@@ -194,11 +474,7 @@ class ParamsKZG:
             df = dc.df
             n_srs = self.n
 
-            def body(chunk, Ax, Ay):
-                digits = window_digits(fr_df, chunk, window_bits)
-                if m < n_srs:
-                    digits = jnp.pad(digits, ((0, 0), (0, 0), (0, n_srs - m)))
-                X, Y, Z = msm_many_device(dc, (Ax, Ay), digits, window_bits, True)
+            def pack_out(X, Y, Z):
                 inf = df.is_zero(Z)  # [b]
                 zinv = df._batch_inv(Z)
                 zi2 = df._mont_mul(zinv, zinv)
@@ -213,6 +489,37 @@ class ParamsKZG:
                     ],
                     axis=0,
                 ).transpose(1, 0)
+
+            if m <= COMMIT_SIMPLE_MAX:
+
+                def body(chunk, Ax, Ay):
+                    b = chunk.shape[0]
+                    Am = tuple(
+                        jnp.broadcast_to(t[:, :m][None], (b, N_LIMBS, m))
+                        for t in (Ax, Ay)
+                    )
+                    # [b, 254, m] bit digits, reversed to MSB-first scan rows
+                    bits = window_digits(fr_df, chunk, 1)[:, ::-1, :]
+                    xs = bits.transpose(1, 0, 2).astype(bool)  # [W, b, m]
+                    acc = dc.identity((b, m))
+
+                    def step(acc, brow):
+                        acc = dc._double(acc)
+                        added = dc._madd(acc, Am, False)
+                        return dc.select(brow, added, acc), None
+
+                    acc, _ = jax.lax.scan(step, acc, xs)
+                    X, Y, Z = dc.tree_reduce(acc)  # [b, 16, 1]
+                    return pack_out(*(jnp.swapaxes(t[..., 0], 0, 1) for t in (X, Y, Z)))
+
+            else:
+
+                def body(chunk, Ax, Ay):
+                    digits = window_digits(fr_df, chunk, window_bits)
+                    if m < n_srs:
+                        digits = jnp.pad(digits, ((0, 0), (0, 0), (0, n_srs - m)))
+                    X, Y, Z = msm_many_device(dc, (Ax, Ay), digits, window_bits, True)
+                    return pack_out(X, Y, Z)
 
             fn = jax.jit(body)
             self._commit_jits[key] = fn
@@ -236,7 +543,11 @@ class ParamsKZG:
         C = vals_mont.shape[0]
         if C == 0:
             return jnp.zeros((0, 33), jnp.uint32)
-        fn = self._commit_chunk_jit(fr_df, vals_mont.shape[2], window_bits)
+        m = vals_mont.shape[2]
+        lagrange = bases is self._lag_affine
+        if (lagrange or bases is self._packed_affine) and self._host_msm_wanted(m):
+            return self._commit_host_tensor(fr_df, vals_mont, lagrange)
+        fn = self._commit_chunk_jit(fr_df, m, window_bits)
         return dispatch_cols(
             vals_mont, COMMIT_CHUNK, lambda b: (lambda v: fn(v, bases[0], bases[1]))
         )
@@ -340,11 +651,20 @@ def _batch_g1_mul(scalars: list[int]):
 
 
 def gen_srs(k: int) -> ParamsKZG:
-    """Read-or-create `params/kzg_bn254_{k}.srs` (utils/mod.rs:437-443)."""
+    """Read-or-create `params/kzg_bn254_{k}.srs` (utils/mod.rs:437-443).
+
+    Files are read AND written in halo2-axiom's `ParamsKZG` serialization, so
+    an SRS produced by the reference's `gen_srs` is a drop-in here and vice
+    versa. Legacy repo-format files are migrated in place."""
     path = os.path.join(_params_dir(), f"kzg_bn254_{k}.srs")
     if os.path.exists(path):
         try:
-            return ParamsKZG.read(path)
+            params = ParamsKZG.read(path)
+            with open(path, "rb") as f:
+                legacy = f.read(8) == _SRS_MAGIC
+            if legacy:
+                params.write(path)  # migrate to the halo2 format
+            return params
         except ValueError:
             pass  # stale v1 file: regenerate below
     params = ParamsKZG.setup(k)

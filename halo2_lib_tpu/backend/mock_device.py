@@ -38,13 +38,18 @@ class DeviceMockProver:
         n = c.num_rows()
         errors: list[str] = []
 
-        # --- 1. vertical gate stencil over all phase-0 columns at once ---
-        phase = c.phases[0] if c.phases else None
-        if phase and phase.columns:
-            ncols = len(phase.columns)
+        # --- 1. vertical gate stencil, every phase's columns at once -------
+        # (columns of ALL phases obey the same 4-tap stencil; stacking them
+        # keeps one executable per total column count)
+        gate_cols: list[tuple[int, int, list, list]] = []  # (phase, col, vals, sels)
+        for t, phase in enumerate(c.phases):
+            for i, (vals, sels) in enumerate(zip(phase.columns, phase.selectors)):
+                gate_cols.append((t, i, vals, sels))
+        if gate_cols:
+            ncols = len(gate_cols)
             A = np.zeros((ncols, n, N_LIMBS), dtype=np.uint32)
             Q = np.zeros((ncols, n), dtype=bool)
-            for i, (vals, sels) in enumerate(zip(phase.columns, phase.selectors)):
+            for i, (_t, _c, vals, sels) in enumerate(gate_cols):
                 A[i] = _pack_col(df, vals, n)
                 Q[i, : len(sels)] = sels
             A = jnp.asarray(np.ascontiguousarray(A.transpose(0, 2, 1)))  # [C,16,n]
@@ -64,8 +69,11 @@ class DeviceMockProver:
             n_bad, bad = gate_failures(A, Q)
             if int(n_bad) > 0:
                 idx = np.argwhere(np.asarray(jax.device_get(bad)))[:8]
-                for col, row in idx:
-                    errors.append(f"gate failure at column {col} row {row}")
+                for flat, row in idx:
+                    t, col = gate_cols[flat][0], gate_cols[flat][1]
+                    errors.append(
+                        f"gate failure at phase {t} column {col} row {row}"
+                    )
 
         # --- 2. copy constraints: gather + compare ---
         if c.copies:

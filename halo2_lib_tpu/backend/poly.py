@@ -23,27 +23,32 @@ from ..utils.fields import FR_BN254
 # coset shift for the extended domain (any non-subgroup element; halo2 uses
 # zeta * g — we use the multiplicative generator)
 COSET_SHIFT = 7
-# extension factor: quotient degree < (cs_degree - 1) * n, cs_degree = 4 -> 4n
+# default extension factor: quotient degree < (cs_degree - 1) * n with
+# cs_degree = 4 -> 4n. Constraint systems of higher degree (the q_lookup
+# single-column case has a degree-2 lookup input -> cs_degree 5) pass a
+# larger factor, exactly like halo2's EvaluationDomain(cs.degree(), k).
 EXT_FACTOR = 4
 
 
-@lru_cache(maxsize=8)
-def _domain(k: int) -> "Domain":
-    return Domain(k)
+@lru_cache(maxsize=16)
+def _domain(k: int, ext_factor: int) -> "Domain":
+    return Domain(k, ext_factor)
 
 
-def domain(k: int) -> "Domain":
-    return _domain(k)
+def domain(k: int, ext_factor: int = EXT_FACTOR) -> "Domain":
+    return _domain(k, ext_factor)
 
 
 class Domain:
-    def __init__(self, k: int):
+    def __init__(self, k: int, ext_factor: int = EXT_FACTOR):
+        assert ext_factor & (ext_factor - 1) == 0 and ext_factor >= 2
         self.k = k
         self.n = 1 << k
+        self.ext_factor = ext_factor
         self.F = FR_BN254
         self.df = DeviceField(FR_BN254)
         self.ntt = new_ntt(self.df, k)
-        self.k_ext = k + (EXT_FACTOR.bit_length() - 1)
+        self.k_ext = k + (ext_factor.bit_length() - 1)
         self.n_ext = 1 << self.k_ext
         self.coset_ntt = CosetNTT(self.df, self.k_ext, COSET_SHIFT)
         self.omega = self.ntt.omega
@@ -51,15 +56,15 @@ class Domain:
         # 1 / Z_H on the extended coset: Z_H(g w_ext^i) = g^n w_ext^{n i} - 1
         p = self.F.p
         g_n = pow(COSET_SHIFT, self.n, p)
-        w_ext_n = pow(self.coset_ntt.ntt.omega, self.n, p)  # primitive EXT_FACTOR-th root
+        w_ext_n = pow(self.coset_ntt.ntt.omega, self.n, p)  # primitive ext_factor-th root
         vals = []
         cur = g_n
-        for i in range(EXT_FACTOR):
+        for i in range(ext_factor):
             vals.append((cur - 1) % p)
             cur = cur * w_ext_n % p
         inv_vals = [pow(v, -1, p) for v in vals]
-        # pattern repeats with period EXT_FACTOR across the 4n points
-        full = [inv_vals[i % EXT_FACTOR] for i in range(self.n_ext)]
+        # pattern repeats with period ext_factor across the ext points
+        full = [inv_vals[i % ext_factor] for i in range(self.n_ext)]
         self.zh_inv_ext = self.pack(full)
 
     # --- packing -------------------------------------------------------------
@@ -109,8 +114,8 @@ class Domain:
         return self.df.sub(a, b)
 
     def rotate_ext(self, ext_evals: jax.Array, rotation: int) -> jax.Array:
-        """Rotation by w^rotation on the n-domain = roll by EXT_FACTOR * rotation."""
-        return jnp.roll(ext_evals, -EXT_FACTOR * rotation, axis=-1)
+        """Rotation by w^rotation on the n-domain = roll by ext_factor * rotation."""
+        return jnp.roll(ext_evals, -self.ext_factor * rotation, axis=-1)
 
     def const_ext(self, c: int) -> jax.Array:
         """Constant c broadcast over the extended domain."""

@@ -33,6 +33,20 @@ def perm_chunks(num_cols: int) -> list[tuple[int, int]]:
 ROT_LABELS = {0: "x", 1: "x_w", 2: "x_w2", 3: "x_w3", -1: "x_winv", "last": "x_last"}
 
 
+def cs_degree(vk) -> int:
+    """Constraint-system degree (halo2 cs.degree()). 4 for the standard
+    vertical gate / lookup / permutation shapes; 5 when q_lookup multiplies
+    the advice column inside the lookup input (reference range/mod.rs:88-108
+    — a degree-2 input expression raises the lookup constraint degree)."""
+    return 5 if getattr(vk, "uses_q_lookup", False) else 4
+
+
+def quotient_pieces(vk) -> int:
+    """Number of size-n quotient pieces: j = cs_degree - 1 (halo2's
+    quotient_poly_degree); deg h <= (cs_degree - 1) n - cs_degree."""
+    return cs_degree(vk) - 1
+
+
 def lookup_instances(vk) -> list[tuple[list, list]]:
     """All lookup-argument instances as (input_exprs, table_exprs).
 
@@ -113,8 +127,6 @@ def query_plan(vk: VerifyingKey) -> list[tuple[str, tuple[str, ...]]]:
         plan.append((f"fix{i}", ("x",)))
     for i in range(vk.num_advice):
         plan.append((f"sel{i}", ("x",)))
-    for i in range(len(vk.challenge_pins)):
-        plan.append((f"chalq{i}", ("x",)))
     nd = 2 * sum(getattr(vk, "dyn_key_cols", []))
     for i in range(nd):
         plan.append((f"dyn{i}", ("x",)))
@@ -189,12 +201,15 @@ def expected_quotient_eval(
         aw3 = evals[f"adv{i}"]["x_w3"]
         exprs.append(q * ((a + aw * aw2 - aw3) % P) % P)
 
-    # 1b. challenge pins: q_chal_i * (advice_col - challenge_c)
+    # 1b. challenge pins: L_row * (advice_col - challenge_c); L_row(x) is
+    # computed in closed form — the pin is structural, not a committed column
     phase_chals = challenges.get("phase_challenges", [])
-    for i, (c, flat_col) in enumerate(vk.challenge_pins):
-        q = evals[f"chalq{i}"]["x"]
-        a = evals[f"adv{flat_col}"]["x"]
-        exprs.append(q * ((a - phase_chals[c]) % P) % P)
+    if vk.challenge_pins:
+        pin_rows = [row for _c, _fc, row in vk.challenge_pins]
+        pin_lag = dom.lagrange_evals_host(sorted(set(pin_rows)), x)
+        for i, (c, flat_col, row) in enumerate(vk.challenge_pins):
+            a = evals[f"adv{flat_col}"]["x"]
+            exprs.append(pin_lag[row] * ((a - phase_chals[c]) % P) % P)
 
     # 2. permutation
     perm_cols = vk.perm_columns

@@ -50,6 +50,7 @@ from .protocol import (
     point_values,
     poly_eval,
     query_plan,
+    quotient_pieces,
     usable_row_count,
     vanishing_poly,
 )
@@ -207,7 +208,6 @@ class ProverRuntime:
         fixed_host = {
             "sel": pk.selectors,
             "fix": pk.fixed_cols,
-            "chalq": pk.chal_q_cols,
             "dynen": pk.dynen_cols,
             "qlookup": [pk.q_lookup_col] if pk.q_lookup_col is not None else [],
             "table": [pk.table_col] if pk.table_col is not None else [],
@@ -226,10 +226,18 @@ class ProverRuntime:
         lact = [1 if r < u else 0 for r in range(n)]
         xlag = pows_host_ints(FR_BN254.p, dom.omega, n)
         fixed_host["const"] = [l0, llast, lact, xlag]
+        const_names = {"const0": "l0", "const1": "llast", "const2": "lact", "const3": "xpoly"}
+        # challenge-pin selectors L_row: DERIVED from the vk like l0/llast —
+        # one-hot Lagrange columns riding the same NTT pipeline, but never
+        # committed (the verifier computes L_row(x) in closed form)
+        for i, (_c, _fc, row) in enumerate(vk.challenge_pins):
+            pin = [0] * n
+            pin[row] = 1
+            const_names[f"const{len(fixed_host['const'])}"] = f"pinrow{i}"
+            fixed_host["const"].append(pin)
 
         stacked = []
         self._tbl_index: dict[str, int] = {}
-        const_names = {"const0": "l0", "const1": "llast", "const2": "lact", "const3": "xpoly"}
         for fam, cols in fixed_host.items():
             for i, c in enumerate(cols):
                 name = f"{fam}{i}" if fam != "table" else "table"
@@ -361,6 +369,85 @@ def _flatten_prover_phase(builder, t: int, ncols: int, nlookup: int, usable_rows
             lk[i % nlookup].append(assigned_to_int(cell_tuple[0].value, builder.field))
         lm.assigned = True
     return adv, lk
+
+
+def _selfcheck_h(
+    vk, pk, dom, u, advice_vals, lookup_vals, dyn_vals, instance_vals,
+    permuted_host, allz_lag, insts, host_col, theta, beta, gamma,
+):
+    """HALO2_PROVER_SELFCHECK=1: re-verify every argument family pointwise on
+    H with exact host ints (fault localization for 'quotient degree
+    overflow' — names the first violated family and row)."""
+    n = 1 << vk.k
+    ncols = len(vk.perm_columns)
+    chunks = perm_chunks(ncols)
+    nchunks = len(chunks)
+    ninst = len(insts)
+    z_all = dom.unpack(allz_lag)
+    zs = [z_all[j * n : (j + 1) * n] for j in range(nchunks + ninst + 1)]
+    sigma = dom.unpack(pk.perm_values)
+    sig = [sigma[c * n : (c + 1) * n] for c in range(ncols)]
+
+    def col_vals(cr):
+        if cr.kind == "advice":
+            return _pad(advice_vals[cr.index], n)
+        if cr.kind == "lookup":
+            return _pad(lookup_vals[cr.index], n)
+        if cr.kind == "fixed":
+            return pk.fixed_cols[cr.index]
+        if cr.kind == "instance":
+            return instance_vals[cr.index]
+        if cr.kind == "dynadv":
+            return dyn_vals[cr.index]
+        raise ValueError(cr.kind)
+
+    vals = [col_vals(cr) for cr in vk.perm_columns]
+    fails = []
+    # permutation chunks
+    for j, (s, e) in enumerate(chunks):
+        z = zs[j]
+        if z[0] != (1 if j == 0 else zs[j - 1][u]):
+            fails.append(f"permz{j} start row0")
+        for r in range(u):
+            left = z[(r + 1) % n]
+            right = z[r]
+            for ci in range(s, e):
+                if ci >= ncols:
+                    continue
+                left = left * ((vals[ci][r] + beta * sig[ci][r] + gamma) % P) % P
+                bd = beta * pow(DELTA, ci, P) % P
+                right = right * ((vals[ci][r] + bd * pow(dom.omega, r, P) + gamma) % P) % P
+            if left != right:
+                fails.append(f"permz{j} row {r}")
+                break
+    # lookups
+    for li, (inp, tbl) in enumerate(insts):
+        a_in = compress_host([host_col(lb) for lb in inp], theta, u)
+        t_in = compress_host([host_col(lb) for lb in tbl], theta, u)
+        a_p = permuted_host[2 * li]
+        s_p = permuted_host[2 * li + 1]
+        zl = zs[nchunks + li]
+        if zl[0] != 1:
+            fails.append(f"lk{li} z row0 != 1")
+        if zl[u] * zl[u] % P != zl[u]:
+            fails.append(f"lk{li} z last not bool")
+        if (a_p[0] - s_p[0]) % P != 0:
+            fails.append(f"lk{li} e4 row0")
+        for r in range(u):
+            left = zl[(r + 1) % n] * ((a_p[r] + beta) % P) % P * ((s_p[r] + gamma) % P) % P
+            right = zl[r] * ((a_in[r] + beta) % P) % P * ((t_in[r] + gamma) % P) % P
+            if left != right:
+                fails.append(f"lk{li} e3 row {r}")
+                break
+            d = (a_p[r] - s_p[r]) % P
+            prev = a_p[r - 1] if r else a_p[n - 1]
+            if d and (a_p[r] - prev) % P != 0:
+                fails.append(f"lk{li} e5 row {r}")
+                break
+    import sys as _sys
+
+    msg = "; ".join(fails) if fails else "all argument families hold on H"
+    print(f"[prover selfcheck] {msg}", file=_sys.stderr, flush=True)
 
 
 def create_proof(
@@ -510,8 +597,13 @@ def create_proof(
         cols = adv_t + lk_t + (instance_vals if t == 0 else [])
         cols_u16 = _shard(jnp.asarray(_u16_cols(cols, n)))
 
+        # device upload + to_mont dispatches ASYNC; the native threaded
+        # Pippenger commits the same host ints concurrently (kzg.py)
         lag_t = _lag_from_u16(df, cols_u16)
-        com1 = params.commit_columns(df, lag_t[:ncommit], T["lagA"])
+        if params.host_ints_commit_wanted(n):
+            com1 = params.commit_host_ints(cols[:ncommit], True)
+        else:
+            com1 = params.commit_columns(df, lag_t[:ncommit], T["lagA"])
         for pt in _host_points(dc, com1):
             tr.write_point(pt)
         if t == 0:
@@ -546,7 +638,10 @@ def create_proof(
         dyn_u16 = _shard(jnp.asarray(_u16_cols(dyn_vals, n)))
 
         dyn_lag = _lag_from_u16(df, dyn_u16)
-        comd = params.commit_columns(df, dyn_lag, T["lagA"])
+        if params.host_ints_commit_wanted(n):
+            comd = params.commit_host_ints(dyn_vals, True)
+        else:
+            comd = params.commit_columns(df, dyn_lag, T["lagA"])
         for pt in _host_points(dc, comd):
             tr.write_point(pt)
     else:
@@ -582,7 +677,10 @@ def create_proof(
     perm_u16 = _shard(jnp.asarray(_u16_cols(permuted_host, n)))
 
     permuted_lag = _lag_from_u16(df, perm_u16)
-    com2 = params.commit_columns(df, permuted_lag, T["lagA"])
+    if params.host_ints_commit_wanted(n):
+        com2 = params.commit_host_ints(permuted_host, True)
+    else:
+        com2 = params.commit_columns(df, permuted_lag, T["lagA"])
     for pt in _host_points(dc, com2):
         tr.write_point(pt)
     _t = _stage("lookup permuted", _t)
@@ -705,6 +803,11 @@ def create_proof(
     allz_lag = rt.jit("s3", s3)(
         T, adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, scal3, zb_u16, rand_u16
     )
+    if _os.environ.get("HALO2_PROVER_SELFCHECK") == "1":
+        _selfcheck_h(
+            vk, pk, dom, u, advice_vals, lookup_vals, dyn_vals, instance_vals,
+            permuted_host, allz_lag, insts, _host_col, theta, beta, gamma,
+        )
     com3 = params.commit_columns(df, allz_lag, T["lagA"])
     for pt in _host_points(dc, com3):
         tr.write_point(pt)
@@ -721,7 +824,7 @@ def create_proof(
     K_perm = (2 + (nchunks - 1) + nchunks) if nchunks else 0
     K_lk = 5 * ninst
     K = K_gates + K_chal + K_perm + K_lk
-    chal_dev = dom.pack([challenges[c] for c, _ in vk.challenge_pins] or [0])
+    chal_dev = dom.pack([challenges[c] for c, _, _ in vk.challenge_pins] or [0])
 
     # The quotient work is split into the batched NTT conversions (chunked
     # host dispatches sharing executables with every other caller) and one
@@ -756,9 +859,10 @@ def create_proof(
             gate_e = df._mont_mul(sel_e, g)
             exprs.extend(gate_e[i] for i in range(na))
 
-        # 1b. challenge pins: q_chal_i * (advice_col - challenge)
-        for i, (_c, flat_col) in enumerate(vk.challenge_pins):
-            q_e = T["ext"][tix[f"chalq{i}"]]
+        # 1b. challenge pins: L_row_i * (advice_col - challenge) — the pin
+        # selector is the derived one-hot Lagrange column, not a vk column
+        for i, (_c, flat_col, _row) in enumerate(vk.challenge_pins):
+            q_e = T["ext"][tix[f"pinrow{i}"]]
             diff = df._sub(adv_e[flat_col], jnp.broadcast_to(chal_dev[:, i : i + 1], (N_LIMBS, ne)))
             exprs.append(df._mont_mul(q_e, diff))
 
@@ -845,15 +949,50 @@ def create_proof(
     )
     runtime_coeffs = dom.ntt.inverse_cols(runtime_lag)
     runtime_ext = dom.coset_ntt.forward_cols(_pad_coeff(runtime_coeffs, dom.n_ext))
+    if _os.environ.get("HALO2_PROVER_SELFCHECK") == "2":
+        # pipeline fault localization: every runtime/table column must
+        # round-trip ext -> coeffs (degree < n) -> lag identically
+        import sys as _sys
+
+        for name, lag_t, ext_t in (
+            ("runtime", runtime_lag, runtime_ext),
+            ("tables", rt.tbl_lag, rt.tbl_ext),
+        ):
+            back_coeff = dom.coset_ntt.inverse_cols(ext_t)
+            top = np.asarray(jax.device_get(back_coeff[..., n:]))
+            lag_back = dom.ntt.forward_cols(back_coeff[..., :n])
+            a = np.asarray(jax.device_get(lag_back))
+            b = np.asarray(jax.device_get(lag_t))
+            for ci in range(a.shape[0]):
+                msgs = []
+                if top[ci].any():
+                    msgs.append("degree >= n")
+                if (a[ci] != b[ci]).any():
+                    bad = int(np.argwhere((a[ci] != b[ci]).any(0))[0][0])
+                    msgs.append(f"lag roundtrip mismatch at row {bad}")
+                if msgs:
+                    print(
+                        f"[prover selfcheck2] {name} col {ci}: {'; '.join(msgs)}",
+                        file=_sys.stderr,
+                        flush=True,
+                    )
     h_ext = rt.jit("s4b", s4b)(T, runtime_ext, scal3, ych, chal_dev)
     h_coeffs = dom.coset_ntt.inverse_cols(h_ext[None])[0]
-    top_zero = jnp.all(h_coeffs[:, 3 * n :] == 0)
-    h_pieces = h_coeffs[:, : 3 * n].reshape(N_LIMBS, 3, n).transpose(1, 0, 2)
+    # quotient pieces: j = cs_degree - 1 (halo2 quotient_poly_degree). The
+    # q_lookup case has a degree-2 lookup input (q * a), so its lookup
+    # constraint is degree 5 and h has degree up to 4n - 5 -> FOUR pieces
+    # (still exactly representable on the 4n coset).
+    npieces = quotient_pieces(vk)
+    top_zero = jnp.all(h_coeffs[:, npieces * n :] == 0)
+    h_pieces = h_coeffs[:, : npieces * n].reshape(N_LIMBS, npieces, n).transpose(1, 0, 2)
     com4 = params.commit_columns(df, h_pieces, T["monoA"])
+    # degree guard BEFORE the commitments enter the transcript: a quotient
+    # overflow must abort the proof, not leave a half-written transcript
+    # (the device sync it forces overlaps the commit MSM already in flight)
+    assert bool(top_zero), "quotient degree overflow"
     for pt in _host_points(dc, com4):
         tr.write_point(pt)
     _t = _stage("quotient", _t)
-    assert bool(top_zero), "quotient degree overflow"
 
     x = tr.squeeze_challenge()
     pts = point_values(x, k)
@@ -865,10 +1004,10 @@ def create_proof(
 
     # h(x) combine scalars computed on host (tiny)
     xc = pow(x, n, P)
-    h_scal = dom.pack([1, xc, xc * xc % P])  # [3, 16]
+    h_scal = dom.pack([pow(xc, i, P) for i in range(npieces)])  # [npieces, 16]
 
     def _h_comb_fn(h_pieces, h_scal):
-        hcol = jnp.swapaxes(h_scal, 0, 1)[:, :, None]  # [3, 16, 1]
+        hcol = jnp.swapaxes(h_scal, 0, 1)[:, :, None]  # [npieces, 16, 1]
         return _tree_sum(df, df._mont_mul(h_pieces, hcol))
 
     h_comb = rt.jit("hcomb", _h_comb_fn)(h_pieces, h_scal)

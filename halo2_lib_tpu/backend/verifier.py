@@ -24,6 +24,7 @@ from .protocol import (
     point_values,
     poly_eval,
     query_plan,
+    quotient_pieces,
     vanishing_poly,
 )
 from .transcript import Blake2bRead
@@ -112,8 +113,8 @@ def _verify_proof_inner(
 
     y = tr.squeeze_challenge()
 
-    # --- 5. quotient piece commitments ---
-    h_pieces = [tr.read_point() for _ in range(3)]
+    # --- 5. quotient piece commitments (j = cs_degree - 1 pieces) ---
+    h_pieces = [tr.read_point() for _ in range(quotient_pieces(vk))]
 
     x = tr.squeeze_challenge()
     pts = point_values(x, k)
@@ -135,8 +136,6 @@ def _verify_proof_inner(
         commitments["table"] = vk.table_commitment
     for i in range(len(vk.perm_columns)):
         commitments[f"sigma{i}"] = vk.permutation_commitments[i]
-    for i in range(len(vk.challenge_pins)):
-        commitments[f"chalq{i}"] = vk.chal_q_commitments[i]
     for i in range(2 * len(vk.dyn_key_cols)):
         commitments[f"dynen{i}"] = vk.dynen_commitments[i]
     if vk.uses_q_lookup:

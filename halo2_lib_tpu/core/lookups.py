@@ -27,8 +27,13 @@ class LookupAnyManager:
         self.assigned = False
 
     def add_lookup(self, tag: ContextTag, cells: tuple[AssignedValue, ...]) -> None:
-        assert len(cells) == self.advice_cols
         self.cells_to_lookup.setdefault(tag, []).append(cells)
+
+    def add_lookups(self, tag: ContextTag, rows: list[tuple[AssignedValue, ...]]) -> None:
+        """Bulk append (one dict probe for a whole gadget's lookup cells —
+        range_check queues one row per limb; the per-call overhead was a
+        measurable slice of witness generation)."""
+        self.cells_to_lookup.setdefault(tag, []).extend(rows)
 
     def iter_rows(self):
         """All queued rows in deterministic (sorted-tag, insertion) order."""

@@ -66,9 +66,10 @@ class RangeChip:
             )
             ctx.constrain_equal(a, acc)
             # limb cells are at offsets 0, 1, 4, ..., 1+3i (limb_bases[0] == 1 opt)
-            self._add_cell_to_lookup(ctx, ctx.get(row_offset))
-            for i in range(num_limbs - 1):
-                self._add_cell_to_lookup(ctx, ctx.get(row_offset + 1 + 3 * i))
+            get = ctx.get
+            rows = [(get(row_offset),)]
+            rows.extend((get(row_offset + 1 + 3 * i),) for i in range(num_limbs - 1))
+            self.lookup_manager[ctx.phase].add_lookups(ctx.tag(), rows)
             last_limb = ctx.get(row_offset + 1 + 3 * (num_limbs - 2))
 
         if rem_bits == 1:

@@ -40,7 +40,7 @@ def get_native():
             cc = os.environ.get("CC", "cc")
             include = sysconfig.get_path("include")
             cmd = [
-                cc, "-O3", "-shared", "-fPIC", "-o", so, src, f"-I{include}",
+                cc, "-O3", "-shared", "-fPIC", "-pthread", "-o", so, src, f"-I{include}",
             ]
             subprocess.run(cmd, check=True, capture_output=True)
         if build not in sys.path:

@@ -306,9 +306,32 @@ class DeviceCurve:
 
     # --- reductions -----------------------------------------------------------
     def tree_reduce(self, P):
-        """Sum points along the LANE axis by halving (log N complete adds)."""
+        """Sum points along the LANE axis -> [..., 16, 1] coords.
+
+        Small lane counts use recursive doubling under a fori_loop: ONE
+        traced complete-add graph instead of log2(n) unrolled levels —
+        XLA:CPU compile costs ~1 s per Montgomery-multiply instance, so an
+        unrolled 10-level tree was ~200 s of compile by itself. The extra
+        n log n vs n point-adds are microseconds at these sizes. Large lane
+        counts keep the work-optimal halving tree."""
         X, Y, Z = P
         n = X.shape[-1]
+        if n <= 4096:
+            if n == 1:
+                return (X, Y, Z)
+            levels = (n - 1).bit_length()
+            lanes = jnp.arange(n)
+
+            def body(d, P):
+                sh = jnp.int32(1) << d
+                live = lanes + sh < n  # rolled-in wrap lanes are dead
+                Q = tuple(
+                    jnp.where(live, jnp.roll(t, -sh, axis=-1), 0) for t in P
+                )
+                return self._add(P, Q)
+
+            X, Y, Z = jax.lax.fori_loop(0, levels, body, (X, Y, Z))
+            return (X[..., :1], Y[..., :1], Z[..., :1])
         while n > 1:
             half = n // 2
             even = tuple(t[..., 0 : 2 * half : 2] for t in (X, Y, Z))

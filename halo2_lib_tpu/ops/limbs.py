@@ -183,36 +183,65 @@ class DeviceField:
         return [(v * rinv) % self.p_int for v in limbs_to_ints(a)]
 
     # --- carry helpers -------------------------------------------------------
+    # Carry/borrow propagation is Kogge-Stone over the LIMB axis: log2(k)
+    # rounds of whole-tensor ops instead of k sequential [1, B]-thin steps.
+    # This is the dominant XLA op count of every field op (a ripple chain is
+    # ~50 small ops per multiply; KS is ~20 fat ones), so it halves both
+    # compile time (XLA:CPU compile of the prover graphs was minutes) and
+    # keeps the VPU sublane-full at runtime.
+
+    @staticmethod
+    def _shift_up(x: jax.Array, d: int) -> jax.Array:
+        """Shift d positions toward higher limbs along axis -2, zero fill."""
+        pad = [(0, 0)] * x.ndim
+        pad[-2] = (d, 0)
+        return jnp.pad(x, pad)[..., : x.shape[-2], :]
+
+    @staticmethod
+    def _ks_carries(g: jax.Array, p: jax.Array) -> jax.Array:
+        """Inclusive carry chain: C_j = g_j | (p_j & C_{j-1}), Kogge-Stone.
+
+        g, p: bool [..., k, B] per-position generate/propagate. Returns the
+        carry OUT of each position j (bool, same shape)."""
+        k = g.shape[-2]
+        d = 1
+        while d < k:
+            g = g | (p & DeviceField._shift_up(g, d))
+            p = p & DeviceField._shift_up(p, d)
+            d *= 2
+        return g
+
     @staticmethod
     def _carry(cols: jax.Array, out_limbs: int) -> jax.Array:
-        """Ripple-carry normalize `cols` [..., k, B] (any <=32-bit entries)
-        into 16-bit limbs [..., out_limbs, B]."""
-        outs = []
-        carry = jnp.zeros_like(cols[..., 0, :])
-        for j in range(cols.shape[-2]):
-            v = cols[..., j, :] + carry
-            outs.append(v & MASK)
-            carry = v >> LIMB_BITS
-        while len(outs) < out_limbs:
-            outs.append(carry & MASK)
-            carry = carry >> LIMB_BITS
-        return jnp.stack(outs[:out_limbs], axis=-2)
+        """Carry-normalize `cols` [..., k, B] (any <=32-bit entries) into
+        16-bit limbs [..., out_limbs, B] (value must fit out_limbs limbs)."""
+        k = cols.shape[-2]
+        if k < out_limbs:
+            pad = [(0, 0)] * cols.ndim
+            pad[-2] = (0, out_limbs - k)
+            cols = jnp.pad(cols, pad)
+        # split v = a + (c << 16); add the shifted big carries: t < 2^17
+        a = cols & MASK
+        c = cols >> LIMB_BITS
+        t = a + DeviceField._shift_up(c, 1)
+        # unit-carry chain of the remaining base-2^16 addition
+        g = t >> LIMB_BITS != 0
+        p = (t & MASK) == MASK
+        carry_in = DeviceField._shift_up(DeviceField._ks_carries(g, p), 1)
+        out = (t + carry_in.astype(jnp.uint32)) & MASK
+        return out[..., :out_limbs, :]
 
     def _cond_sub_p(self, t: jax.Array) -> jax.Array:
         """t [..., 17, B] (normalized limbs, value < 2p) -> t mod p, 16 limbs."""
-        # subtract with borrow
-        p17 = self.P17
-        diff = []
-        borrow = jnp.zeros_like(t[..., 0, :])
-        for j in range(N_LIMBS + 1):
-            d = t[..., j, :] - jnp.uint32(p17[j]) - borrow
-            diff.append(d & MASK)
-            borrow = (d >> 31) & 1  # d went negative iff top bit set (values < 2^17)
-        ge = borrow == 0  # t >= p
-        out = []
-        for j in range(N_LIMBS):
-            out.append(jnp.where(ge, diff[j], t[..., j, :]))
-        return jnp.stack(out, axis=-2)
+        p17 = jnp.asarray(self.P17)[:, None]
+        d = t - p17  # uint32 wrap; negative iff top bit set (inputs < 2^16)
+        g = (d >> 31) != 0  # borrow generated
+        pr = t == p17  # borrow propagates
+        borrow = self._ks_carries(g, pr)
+        borrow_in = DeviceField._shift_up(borrow, 1)
+        diff = (d - borrow_in.astype(jnp.uint32)) & MASK
+        ge = ~borrow[..., N_LIMBS, :]  # no net borrow -> t >= p
+        return jnp.where(ge[..., None, :], diff, t)[..., :N_LIMBS, :]
 
     # --- ring ops (Montgomery-form in, Montgomery-form out) -------------------
     # TPU dispatch threshold for elementwise add/sub: below this flattened
@@ -240,23 +269,21 @@ class DeviceField:
         out = self._addsub_pallas(a, b, False)
         if out is not None:
             return out
-        # borrow-chain subtract, then add p back where a < b
-        P = self.P
+        # KS borrow-subtract, then add p back where a < b (mod-2^256 wrap)
         a, b = _bcast2(a, b)
-        diff = []
-        borrow = jnp.zeros_like(a[..., 0, :])
-        for j in range(N_LIMBS):
-            d = a[..., j, :] - b[..., j, :] - borrow
-            diff.append(d & MASK)
-            borrow = (d >> 31) & 1
-        underflow = borrow == 1
-        out = []
-        carry = jnp.zeros_like(borrow)
-        for j in range(N_LIMBS):
-            v = diff[j] + jnp.where(underflow, jnp.uint32(P[j]), jnp.uint32(0)) + carry
-            out.append(v & MASK)
-            carry = v >> LIMB_BITS
-        return jnp.stack(out, axis=-2)
+        d = a - b
+        g = (d >> 31) != 0
+        pr = a == b
+        borrow = self._ks_carries(g, pr)
+        borrow_in = DeviceField._shift_up(borrow, 1)
+        diff = (d - borrow_in.astype(jnp.uint32)) & MASK
+        underflow = borrow[..., N_LIMBS - 1 :, :]  # net borrow out, [..., 1, B]
+        addp = jnp.where(underflow, jnp.asarray(self.P)[:, None], jnp.uint32(0))
+        t = diff + addp  # < 2^17
+        g2 = t >> LIMB_BITS != 0
+        p2 = (t & MASK) == MASK
+        carry_in = DeviceField._shift_up(self._ks_carries(g2, p2), 1)
+        return (t + carry_in.astype(jnp.uint32)) & MASK
 
     def _neg(self, a: jax.Array) -> jax.Array:
         zero = jnp.zeros_like(a)
@@ -322,14 +349,21 @@ class DeviceField:
 
     @staticmethod
     def _normalize_low(cols: jax.Array, k: int):
-        """Carry-normalize the first k columns; returns (limbs [..., k, B], carry)."""
-        outs = []
-        carry = jnp.zeros_like(cols[..., 0, :])
-        for j in range(k):
-            v = cols[..., j, :] + carry
-            outs.append(v & MASK)
-            carry = v >> LIMB_BITS
-        return jnp.stack(outs, axis=-2), carry
+        """Carry-normalize the first k columns; returns (limbs [..., k, B],
+        carry out of column k-1 as a full-width value)."""
+        low = cols[..., :k, :]
+        a = low & MASK
+        c = low >> LIMB_BITS
+        t = a + DeviceField._shift_up(c, 1)
+        g = t >> LIMB_BITS != 0
+        p = (t & MASK) == MASK
+        carries = DeviceField._ks_carries(g, p)
+        carry_in = DeviceField._shift_up(carries, 1)
+        out = (t + carry_in.astype(jnp.uint32)) & MASK
+        # carry out of col k-1: the big part (c of the top col) plus the unit
+        # carry the KS chain pushed out of the top position
+        carry = c[..., k - 1, :] + carries[..., k - 1, :].astype(jnp.uint32)
+        return out, carry
 
     def _mont_mul(self, a: jax.Array, b: jax.Array) -> jax.Array:
         """Montgomery product; fused pallas kernel on TPU for big batches."""

@@ -128,6 +128,32 @@ class NTT:
         """[16, n/2] Montgomery twiddles w^k."""
         return self._tw[forward]
 
+    def _fori_idx(self):
+        """Per-stage gather tables for the shape-constant (fori_loop) form:
+        (IDX int32[L, N]: output lane -> concat(top, bot) lane;
+         IDXW int32[L, N/2]: lane -> expanded stage-twiddle lane)."""
+        tabs = getattr(self, "_fidx", None)
+        if tabs is None:
+            import numpy as np
+
+            L, N = self.log_n, self.n
+            idx = np.zeros((L, N), np.int32)
+            idxw = np.zeros((L, N // 2), np.int32)
+            q = np.arange(N // 2)
+            for st in range(L):
+                s = 1 << st
+                i, j = q // s, q % s
+                out = np.empty(N, np.int64)
+                out[(2 * i) * s + j] = q
+                out[(2 * i + 1) * s + j] = N // 2 + q
+                idx[st] = out
+                idxw[st] = (q // s) * s
+            tabs = (idx, idxw)
+            self._fidx = tabs
+        # numpy cached; device conversion happens per use (converting inside
+        # a jit trace and caching would leak tracers — same rule as _tw)
+        return jnp.asarray(tabs[0]), jnp.asarray(tabs[1])
+
     def _transform(self, x: jax.Array, forward: bool) -> jax.Array:
         """Stockham radix-2 DIF: natural order in, natural order out.
 
@@ -135,15 +161,35 @@ class NTT:
         Stage (n, s) with m = n/2: element (i < m, j < s) pairs lanes
         i*s + j and (m+i)*s + j — the two contiguous lane halves — and the
         interleave writes top/bot back at block granularity s.
+
+        Off the pallas path the log N stages run SHAPE-CONSTANT under ONE
+        fori_loop (stage twiddles and the interleave become per-stage lane
+        gathers): the butterfly graph is traced once instead of log N times,
+        which matters because XLA:CPU compile costs ~1 s per traced
+        Montgomery multiply.
         """
         df = self.df
         N = self.n
+        if N == 1:
+            return x
         tw = self._table(forward)
         batch = x.shape[:-2]
+        half = N // 2
+        if not _use_pallas():
+            IDX, IDXW = self._fori_idx()
+
+            def body(st, x):
+                a, b = x[..., :half], x[..., half:]
+                wp = jnp.take(tw, IDXW[st], axis=-1)
+                top = df._add(a, b)
+                bot = df._mont_mul(df._sub(a, b), wp)
+                cat = jnp.concatenate([top, bot], axis=-1)
+                return jnp.take(cat, IDX[st], axis=-1)
+
+            return jax.lax.fori_loop(0, self.log_n, body, x)
         n, s = N, 1
         while n > 1:
             m = n // 2
-            half = N // 2
             a, b = x[..., :half], x[..., half:]
             # stage twiddles w^(p * N/n), p < m — strided slice of the table,
             # each repeated s times along lanes (broadcast + reshape)

@@ -99,35 +99,94 @@ def _conv(at, bt):
     return cols
 
 
+# Carry/borrow chains are Kogge-Stone over the limb (sublane) axis — log2(k)
+# rounds of whole-block ops instead of k sequential [1, B]-thin row steps
+# (mirrors ops/limbs.py; halves both the Mosaic op count and the sequential
+# chain length of every field op).
+
+
+def _shift_up_t(x, d):
+    """Shift d positions toward higher limbs along axis -2, zero fill."""
+    if d == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (d, 0)
+    return jnp.pad(x, pad)[..., : x.shape[-2], :]
+
+
+def _ks_carries_t(g, p):
+    """Inclusive carry chain C_j = g_j | (p_j & C_{j-1}) (Kogge-Stone).
+
+    g, p are uint32 0/1 tensors — NOT bools: Mosaic cannot bitcast i1 vregs
+    to i32 (tpu.bitcast_vreg rejects vector<8x128xi1>), so the whole chain
+    stays in integer masks."""
+    k = g.shape[-2]
+    d = 1
+    while d < k:
+        g = g | (p & _shift_up_t(g, d))
+        p = p & _shift_up_t(p, d)
+        d *= 2
+    return g
+
+
+def _eq_mask(a, b):
+    """uint32 0/1 mask of a == b for values < 2^17 (no bool vregs)."""
+    return ((a ^ b) - jnp.uint32(1)) >> 31
+
+
+def _const_rows(limbs, shape):
+    """Python int limb list -> constant rows [..., len(limbs), B]."""
+    rows = [
+        jnp.full(shape[:-2] + (1,) + shape[-1:], int(v), jnp.uint32) for v in limbs
+    ]
+    return jnp.concatenate(rows, axis=-2)
+
+
+def _carry_t(cols, out_limbs):
+    """Carry-normalize [..., k, B] (<=32-bit entries) to out_limbs 16-bit
+    limbs (value must fit)."""
+    k = cols.shape[-2]
+    if k < out_limbs:
+        pad = [(0, 0)] * cols.ndim
+        pad[-2] = (0, out_limbs - k)
+        cols = jnp.pad(cols, pad)
+    a = cols & MASK
+    c = cols >> LIMB_BITS
+    t = a + _shift_up_t(c, 1)
+    g = t >> LIMB_BITS  # 0/1
+    p = ((t & MASK) + 1) >> LIMB_BITS  # 1 iff t & MASK == 0xFFFF
+    cin = _shift_up_t(_ks_carries_t(g, p), 1)
+    return ((t + cin) & MASK)[..., :out_limbs, :]
+
+
 def _normalize_low(cols, k):
-    """Carry-normalize the first k columns -> (rows list[k], carry [..., B])."""
-    outs = []
-    carry = jnp.zeros_like(cols[..., 0, :])
-    for j in range(k):
-        v = cols[..., j, :] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return outs, carry
+    """Carry-normalize the first k columns -> (limbs [..., k, B], carry row
+    [..., B] out of column k-1, full width)."""
+    low = cols[..., :k, :]
+    a = low & MASK
+    c = low >> LIMB_BITS
+    t = a + _shift_up_t(c, 1)
+    g = t >> LIMB_BITS
+    p = ((t & MASK) + 1) >> LIMB_BITS
+    carries = _ks_carries_t(g, p)
+    cin = _shift_up_t(carries, 1)
+    out = (t + cin) & MASK
+    carry = c[..., k - 1, :] + carries[..., k - 1, :]
+    return out, carry
 
 
-def _stack_rows(rows):
-    return jnp.stack(rows, axis=-2)
+def _cond_sub_p(t, p17):
+    """t [..., 17, B] normalized limbs (value < 2p) -> t mod p, 16 rows.
 
-
-def _cond_sub_p(rows17, p17):
-    """rows17: list of 17 normalized rows, value < 2p -> 16 limb-major rows.
-
-    p17 is a python list of 17 int limbs (folded into the code as scalar
-    literals — pallas kernels cannot capture constant arrays)."""
-    diff = []
-    borrow = jnp.zeros_like(rows17[0])
-    for j in range(N_LIMBS + 1):
-        d = rows17[j] - jnp.uint32(p17[j]) - borrow
-        diff.append(d & MASK)
-        borrow = (d >> 31) & 1
-    ge = borrow == 0
-    out = [jnp.where(ge, diff[j], rows17[j]) for j in range(N_LIMBS)]
-    return _stack_rows(out)
+    p17 is a python list of 17 int limbs (folded to in-kernel constants)."""
+    pt = _const_rows(p17, t.shape)
+    d = t - pt
+    g = d >> 31  # borrow generated (inputs < 2^16)
+    pr = _eq_mask(t, pt)
+    borrow = _ks_carries_t(g, pr)
+    diff = (d - _shift_up_t(borrow, 1)) & MASK
+    ge = borrow[..., N_LIMBS : N_LIMBS + 1, :]  # 1 = t < p: keep t
+    return (diff + (t - diff) * ge)[..., :N_LIMBS, :]
 
 
 def _conv_const(at, c):
@@ -172,45 +231,37 @@ def _mont_mul_t(at, bt, consts):
     nprime, p_rows, p17 = consts
     T = _conv(at, bt)
     t_lo, _ = _normalize_low(T, N_LIMBS)
-    m_cols = _conv_const_low(_stack_rows(t_lo), nprime)
+    m_cols = _conv_const_low(t_lo, nprime)
     m, _ = _normalize_low(m_cols, N_LIMBS)
-    U = _conv_const(_stack_rows(m), p_rows)
+    U = _conv_const(m, p_rows)
     S = T + U
     _, low_carry = _normalize_low(S, N_LIMBS)
     # high 17 columns + the carry out of the vanished low half
-    rows = []
-    carry = low_carry
-    for j in range(N_LIMBS, 2 * N_LIMBS + 1):
-        v = S[..., j, :] + carry
-        rows.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return _cond_sub_p(rows, p17)
+    high = S[..., N_LIMBS : 2 * N_LIMBS + 1, :]
+    high = jnp.concatenate(
+        [(high[..., :1, :] + low_carry[..., None, :]), high[..., 1:, :]], axis=-2
+    )
+    return _cond_sub_p(_carry_t(high, N_LIMBS + 1), p17)
 
 
 def _add_f(at, bt, p17):
     """Field add on limb-major [..., 16, B]."""
-    s = at + bt
-    rows, carry = _normalize_low(s, N_LIMBS)
-    rows.append(carry)
-    return _cond_sub_p(rows, p17)
+    return _cond_sub_p(_carry_t(at + bt, N_LIMBS + 1), p17)
 
 
 def _sub_f(at, bt, p_rows):
     """Field sub on limb-major [..., 16, B]; p_rows = python list of limbs."""
-    diff = []
-    borrow = jnp.zeros_like(at[..., 0, :])
-    for j in range(N_LIMBS):
-        d = at[..., j, :] - bt[..., j, :] - borrow
-        diff.append(d & MASK)
-        borrow = (d >> 31) & 1
-    under = borrow == 1
-    out = []
-    carry = jnp.zeros_like(borrow)
-    for j in range(N_LIMBS):
-        v = diff[j] + jnp.where(under, jnp.uint32(p_rows[j]), jnp.uint32(0)) + carry
-        out.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return _stack_rows(out)
+    d = at - bt
+    g = d >> 31
+    pr = _eq_mask(at, bt)
+    borrow = _ks_carries_t(g, pr)
+    diff = (d - _shift_up_t(borrow, 1)) & MASK
+    under = borrow[..., N_LIMBS - 1 :, :]  # [..., 1, B] net borrow (0/1)
+    t = diff + _const_rows(p_rows, at.shape) * under
+    g2 = t >> LIMB_BITS
+    p2 = ((t & MASK) + 1) >> LIMB_BITS
+    cin = _shift_up_t(_ks_carries_t(g2, p2), 1)
+    return (t + cin) & MASK
 
 
 def _dbl_f(at, p17):

@@ -53,15 +53,24 @@ def enable_persistent_cache() -> None:
             return  # respect an explicitly configured cache (e.g. test conftest)
 
         path = os.environ.get("HALO2_TPU_JAX_CACHE")
-        platforms = os.environ.get("JAX_PLATFORMS", "")
+        # Decide the platform from the jax CONFIG first: a harness that forces
+        # CPU via jax.config.update("jax_platforms", "cpu") (conftest, the
+        # multichip dryrun) must NOT inherit the TPU cache dir its ambient
+        # JAX_PLATFORMS env would select — those entries were compiled by a
+        # remote service whose LLVM target features differ from this host's,
+        # and XLA:CPU will load them as (potentially miscompiled) AOT code.
+        platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
         if not path and ("tpu" in platforms or "axon" in platforms):
             # TPU runs default to a repo-local cache: TPU executables are
             # keyed by (module, compiler version, topology) — host CPU flags
             # are irrelevant — so entries warmed in one session serve every
             # later run on the same TPU generation (including CI/bench runs
             # in fresh containers). Stale entries simply miss.
+            # The subdir is TPU-ONLY by construction (CPU sessions land in
+            # the fingerprinted local dir below): XLA:CPU AOT entries must
+            # never ride the repo to another machine (see README there).
             repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-            path = os.path.join(repo, "params", "xla_cache")
+            path = os.path.join(repo, "params", "xla_cache", "tpu-v1")
         if not path:
             base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
             path = os.path.join(base, "halo2_lib_tpu", f"xla_{_host_fingerprint()}")

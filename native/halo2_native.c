@@ -622,7 +622,323 @@ static PyObject *py_pack_limbs16(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* ---- elliptic curve (short Weierstrass, a = 0) + Pippenger MSM ----------
+ *
+ * The native commitment engine: the reference's rayon-parallel Pippenger
+ * (halo2-axiom create_proof commitments) as a pthread pool over
+ * (column, window) bucket tasks. Points are Jacobian over 4x64 Montgomery
+ * limbs; z == 0 is the identity, affine identity is the (0, 0) sentinel.
+ * Used by backend/kzg.py for host-resident columns and for every
+ * small-circuit commit (XLA compile of the device MSM is minutes on a cold
+ * host; this path is compile-free and runs at full native speed).
+ */
+
+#include <pthread.h>
+
+typedef struct { u64 x[4], y[4], z[4]; } Jac;
+typedef struct { u64 x[4], y[4]; } Aff; /* Montgomery; (0,0) = identity */
+
+static int is_zero4(const u64 a[4]) { return !(a[0] | a[1] | a[2] | a[3]); }
+
+static void jac_dbl(Jac *r, const Jac *p, const FieldCtx *f) {
+    /* dbl-2009-l (a = 0) */
+    if (is_zero4(p->z)) { *r = *p; return; }
+    u64 A[4], B[4], C[4], D[4], E[4], F_[4], t[4], X3[4], Y3[4], Z3[4], C8[4];
+    mont_mul(A, p->x, p->x, f);
+    mont_mul(B, p->y, p->y, f);
+    mont_mul(C, B, B, f);
+    addmod(t, p->x, B, f);
+    mont_mul(t, t, t, f);
+    submod(t, t, A, f);
+    submod(t, t, C, f);
+    addmod(D, t, t, f);
+    addmod(E, A, A, f);
+    addmod(E, E, A, f);
+    mont_mul(F_, E, E, f);
+    submod(X3, F_, D, f);
+    submod(X3, X3, D, f);
+    submod(t, D, X3, f);
+    mont_mul(t, E, t, f);
+    addmod(C8, C, C, f);
+    addmod(C8, C8, C8, f);
+    addmod(C8, C8, C8, f);
+    submod(Y3, t, C8, f);
+    mont_mul(t, p->y, p->z, f);
+    addmod(Z3, t, t, f);
+    memcpy(r->x, X3, 32); memcpy(r->y, Y3, 32); memcpy(r->z, Z3, 32);
+}
+
+static void jac_add(Jac *r, const Jac *p, const Jac *q, const FieldCtx *f) {
+    /* add-2007-bl with branches (CPU path) */
+    if (is_zero4(p->z)) { *r = *q; return; }
+    if (is_zero4(q->z)) { *r = *p; return; }
+    u64 Z1Z1[4], Z2Z2[4], U1[4], U2[4], S1[4], S2[4], H[4], rr[4], t[4];
+    mont_mul(Z1Z1, p->z, p->z, f);
+    mont_mul(Z2Z2, q->z, q->z, f);
+    mont_mul(U1, p->x, Z2Z2, f);
+    mont_mul(U2, q->x, Z1Z1, f);
+    mont_mul(t, p->y, q->z, f);
+    mont_mul(S1, t, Z2Z2, f);
+    mont_mul(t, q->y, p->z, f);
+    mont_mul(S2, t, Z1Z1, f);
+    submod(H, U2, U1, f);
+    submod(rr, S2, S1, f);
+    if (is_zero4(H)) {
+        if (is_zero4(rr)) { jac_dbl(r, p, f); return; }
+        memset(r, 0, sizeof(Jac));
+        return;
+    }
+    addmod(rr, rr, rr, f); /* r = 2(S2 - S1) */
+    u64 I[4], J[4], V[4], X3[4], Y3[4], Z3[4];
+    addmod(t, H, H, f);
+    mont_mul(I, t, t, f); /* (2H)^2 */
+    mont_mul(J, H, I, f);
+    mont_mul(V, U1, I, f);
+    mont_mul(X3, rr, rr, f);
+    submod(X3, X3, J, f);
+    submod(X3, X3, V, f);
+    submod(X3, X3, V, f);
+    submod(t, V, X3, f);
+    mont_mul(Y3, rr, t, f);
+    mont_mul(t, S1, J, f);
+    addmod(t, t, t, f);
+    submod(Y3, Y3, t, f);
+    addmod(t, p->z, q->z, f);
+    mont_mul(t, t, t, f);
+    submod(t, t, Z1Z1, f);
+    submod(t, t, Z2Z2, f);
+    mont_mul(Z3, t, H, f);
+    memcpy(r->x, X3, 32); memcpy(r->y, Y3, 32); memcpy(r->z, Z3, 32);
+}
+
+static void jac_madd(Jac *r, const Jac *p, const Aff *q, const FieldCtx *f,
+                     const u64 one_m[4]) {
+    /* madd-2007-bl: Jacobian += affine (Montgomery; (0,0) = dead slot) */
+    if (is_zero4(q->x) && is_zero4(q->y)) { *r = *p; return; }
+    if (is_zero4(p->z)) {
+        memcpy(r->x, q->x, 32); memcpy(r->y, q->y, 32); memcpy(r->z, one_m, 32);
+        return;
+    }
+    u64 Z1Z1[4], U2[4], S2[4], H[4], rr[4], t[4];
+    mont_mul(Z1Z1, p->z, p->z, f);
+    mont_mul(U2, q->x, Z1Z1, f);
+    mont_mul(t, q->y, p->z, f);
+    mont_mul(S2, t, Z1Z1, f);
+    submod(H, U2, p->x, f);
+    submod(rr, S2, p->y, f);
+    if (is_zero4(H)) {
+        if (is_zero4(rr)) {
+            Jac tmp;
+            memcpy(tmp.x, q->x, 32); memcpy(tmp.y, q->y, 32); memcpy(tmp.z, one_m, 32);
+            jac_dbl(r, &tmp, f);
+            return;
+        }
+        memset(r, 0, sizeof(Jac));
+        return;
+    }
+    addmod(rr, rr, rr, f); /* 2(S2 - Y1) */
+    u64 HH[4], I[4], J[4], V[4], X3[4], Y3[4], Z3[4];
+    mont_mul(HH, H, H, f);
+    addmod(I, HH, HH, f);
+    addmod(I, I, I, f); /* 4 HH */
+    mont_mul(J, H, I, f);
+    mont_mul(V, p->x, I, f);
+    mont_mul(X3, rr, rr, f);
+    submod(X3, X3, J, f);
+    submod(X3, X3, V, f);
+    submod(X3, X3, V, f);
+    submod(t, V, X3, f);
+    mont_mul(Y3, rr, t, f);
+    mont_mul(t, p->y, J, f);
+    addmod(t, t, t, f);
+    submod(Y3, Y3, t, f);
+    addmod(t, p->z, H, f);
+    mont_mul(t, t, t, f);
+    submod(t, t, Z1Z1, f);
+    submod(t, t, HH, f);
+    memcpy(r->x, X3, 32); memcpy(r->y, Y3, 32); memcpy(r->z, t, 32);
+}
+
+static void mont_inv(u64 out[4], const u64 a[4], const FieldCtx *f, const u64 one_m[4]) {
+    /* Fermat a^(p-2) on Montgomery form */
+    u64 e[4], two[4] = {2, 0, 0, 0}, acc[4];
+    sub4(e, f->p, two);
+    memcpy(acc, one_m, 32);
+    for (int i = 255; i >= 0; i--) {
+        mont_mul(acc, acc, acc, f);
+        if ((e[i / 64] >> (i % 64)) & 1) mont_mul(acc, acc, a, f);
+    }
+    memcpy(out, acc, 32);
+}
+
+/* msm_pack_bases(p32, r2_32, xy_bytes) -> Montgomery Aff array bytes.
+ * xy_bytes: n * 64 bytes, canonical LE x then y per point; (0,0) = identity. */
+static PyObject *py_msm_pack_bases(PyObject *self, PyObject *args) {
+    Py_buffer pb, r2b, xyb;
+    if (!PyArg_ParseTuple(args, "y*y*y*", &pb, &r2b, &xyb)) return NULL;
+    FieldCtx f;
+    ctx_from_bytes(&f, pb.buf, r2b.buf);
+    Py_ssize_t n = xyb.len / 64;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n * (Py_ssize_t)sizeof(Aff));
+    if (!out) goto done;
+    {
+        Aff *dst = (Aff *)PyBytes_AS_STRING(out);
+        const unsigned char *src = (const unsigned char *)xyb.buf;
+        Py_BEGIN_ALLOW_THREADS
+        for (Py_ssize_t i = 0; i < n; i++) {
+            u64 x[4], y[4];
+            memcpy(x, src + 64 * i, 32);
+            memcpy(y, src + 64 * i + 32, 32);
+            mont_mul(dst[i].x, x, f.r2, &f);
+            mont_mul(dst[i].y, y, f.r2, &f);
+        }
+        Py_END_ALLOW_THREADS
+    }
+done:
+    PyBuffer_Release(&pb); PyBuffer_Release(&r2b); PyBuffer_Release(&xyb);
+    return out;
+}
+
+#define MSM_WIN 8
+#define MSM_NWIN 32
+#define MSM_NBUCKET 255
+
+typedef struct {
+    const FieldCtx *f;
+    const Aff *bases;
+    const unsigned char *scal; /* ncols * n * 32 bytes canonical LE */
+    Py_ssize_t n;
+    int ncols;
+    Jac *winsums; /* [ncols * MSM_NWIN] */
+    u64 one_m[4];
+    volatile long next;
+    pthread_mutex_t lock;
+} MsmJob;
+
+static void *msm_worker(void *arg) {
+    MsmJob *job = (MsmJob *)arg;
+    Jac *buckets = (Jac *)malloc(MSM_NBUCKET * sizeof(Jac));
+    if (!buckets) return NULL;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        long t = job->next++;
+        pthread_mutex_unlock(&job->lock);
+        if (t >= (long)job->ncols * MSM_NWIN) break;
+        int col = (int)(t / MSM_NWIN);
+        int w = (int)(t % MSM_NWIN);
+        memset(buckets, 0, MSM_NBUCKET * sizeof(Jac));
+        const unsigned char *s = job->scal + (Py_ssize_t)col * job->n * 32;
+        for (Py_ssize_t i = 0; i < job->n; i++) {
+            unsigned d = s[i * 32 + w];
+            if (d)
+                jac_madd(&buckets[d - 1], &buckets[d - 1], &job->bases[i],
+                         job->f, job->one_m);
+        }
+        Jac acc, sum;
+        memset(&acc, 0, sizeof(Jac));
+        memset(&sum, 0, sizeof(Jac));
+        for (int b = MSM_NBUCKET - 1; b >= 0; b--) {
+            jac_add(&acc, &acc, &buckets[b], job->f);
+            jac_add(&sum, &sum, &acc, job->f);
+        }
+        job->winsums[(Py_ssize_t)col * MSM_NWIN + w] = sum;
+    }
+    free(buckets);
+    return NULL;
+}
+
+/* msm_commit(p32, r2_32, bases_mont, scalars, n, ncols, nthreads)
+ *   bases_mont: bytes from msm_pack_bases (>= n points)
+ *   scalars: ncols * n * 32 bytes canonical LE
+ * -> bytes of uint32[ncols, 33]: canonical affine x|y as 16-bit limbs + inf */
+static PyObject *py_msm_commit(PyObject *self, PyObject *args) {
+    Py_buffer pb, r2b, baseb, scalb;
+    Py_ssize_t n;
+    int ncols, nthreads;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*nii", &pb, &r2b, &baseb, &scalb, &n,
+                          &ncols, &nthreads))
+        return NULL;
+    PyObject *out = NULL;
+    FieldCtx f;
+    ctx_from_bytes(&f, pb.buf, r2b.buf);
+    if (baseb.len < n * (Py_ssize_t)sizeof(Aff) || scalb.len < (Py_ssize_t)ncols * n * 32) {
+        PyErr_SetString(PyExc_ValueError, "msm_commit: buffer too small");
+        goto done;
+    }
+    {
+        MsmJob job;
+        job.f = &f;
+        job.bases = (const Aff *)baseb.buf;
+        job.scal = (const unsigned char *)scalb.buf;
+        job.n = n;
+        job.ncols = ncols;
+        job.winsums = (Jac *)malloc((size_t)ncols * MSM_NWIN * sizeof(Jac));
+        u64 one[4] = {1, 0, 0, 0};
+        mont_mul(job.one_m, one, f.r2, &f);
+        job.next = 0;
+        pthread_mutex_init(&job.lock, NULL);
+        if (!job.winsums) { PyErr_NoMemory(); goto done; }
+        out = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)ncols * 33 * 4);
+        if (!out) { free(job.winsums); goto done; }
+        uint32_t *res = (uint32_t *)PyBytes_AS_STRING(out);
+        Py_BEGIN_ALLOW_THREADS
+        {
+            long total = (long)ncols * MSM_NWIN;
+            int nt = nthreads;
+            if (nt > total) nt = (int)total;
+            if (nt < 1) nt = 1;
+            pthread_t tids[64];
+            if (nt > 64) nt = 64;
+            int spawned = 0;
+            for (int i = 0; i < nt - 1; i++)
+                if (pthread_create(&tids[i], NULL, msm_worker, &job) == 0) spawned++;
+            msm_worker(&job);
+            for (int i = 0; i < spawned; i++) pthread_join(tids[i], NULL);
+
+            for (int col = 0; col < ncols; col++) {
+                Jac r;
+                memset(&r, 0, sizeof(Jac));
+                for (int w = MSM_NWIN - 1; w >= 0; w--) {
+                    for (int d = 0; d < MSM_WIN; d++) jac_dbl(&r, &r, &f);
+                    jac_add(&r, &r, &job.winsums[(Py_ssize_t)col * MSM_NWIN + w], &f);
+                }
+                uint32_t *row = res + (Py_ssize_t)col * 33;
+                if (is_zero4(r.z)) {
+                    memset(row, 0, 33 * 4);
+                    row[32] = 1;
+                } else {
+                    u64 zinv[4], zi2[4], xa[4], ya[4], one_c[4] = {1, 0, 0, 0};
+                    mont_inv(zinv, r.z, &f, job.one_m);
+                    mont_mul(zi2, zinv, zinv, &f);
+                    mont_mul(xa, r.x, zi2, &f);
+                    mont_mul(zi2, zi2, zinv, &f);
+                    mont_mul(ya, r.y, zi2, &f);
+                    /* from Montgomery to canonical */
+                    mont_mul(xa, xa, one_c, &f);
+                    mont_mul(ya, ya, one_c, &f);
+                    for (int j = 0; j < 16; j++) {
+                        row[j] = (uint32_t)((xa[j / 4] >> (16 * (j % 4))) & 0xFFFF);
+                        row[16 + j] = (uint32_t)((ya[j / 4] >> (16 * (j % 4))) & 0xFFFF);
+                    }
+                    row[32] = 0;
+                }
+            }
+        }
+        Py_END_ALLOW_THREADS
+        free(job.winsums);
+        pthread_mutex_destroy(&job.lock);
+    }
+done:
+    PyBuffer_Release(&pb); PyBuffer_Release(&r2b);
+    PyBuffer_Release(&baseb); PyBuffer_Release(&scalb);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
+    {"msm_pack_bases", py_msm_pack_bases, METH_VARARGS,
+     "canonical affine points -> Montgomery base blob for msm_commit"},
+    {"msm_commit", py_msm_commit, METH_VARARGS,
+     "threaded Pippenger MSM: columns of scalars -> packed affine points"},
     {"pack_limbs16", py_pack_limbs16, METH_VARARGS,
      "list of ints < 2^256 -> bytes of 16 LE u16 limbs each"},
     {"check_gates", py_check_gates, METH_VARARGS,

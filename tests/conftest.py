@@ -8,6 +8,7 @@ real-TPU benchmarking happens through bench.py, not the test suite.
 
 import os
 
+_AMBIENT_PLATFORMS = os.environ.get("JAX_PLATFORMS", "")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -24,7 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 # unless HALO2_TPU_JAX_CACHE is set explicitly.
 def _host_fingerprint() -> str:
     """CPU-feature fingerprint: AOT cache entries loaded on a host with
-    different CPU features can miscompute (cpu_aot_loader SIGILL warning)."""
+    different CPU features can miscompute (cpu_aot_loader SIGILL warning).
+    Includes the ambient platform request: a process that ever loaded a TPU
+    plugin (libtpu sets +prefer-no-scatter/-gather target features) writes
+    AOT entries incompatible with plain-CPU sessions on the SAME machine."""
     import hashlib
 
     try:
@@ -32,6 +36,7 @@ def _host_fingerprint() -> str:
             flags = [l for l in f if l.startswith("flags")][0]
     except Exception:
         flags = os.uname().machine
+    flags += "|" + _AMBIENT_PLATFORMS + "|cpu-only-session"
     return hashlib.sha1(flags.encode()).hexdigest()[:12]
 
 

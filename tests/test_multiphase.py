@@ -80,6 +80,10 @@ def test_rlc_prove_verify_roundtrip():
     params, pk, bps = _keygen()
     assert len(pk.vk.num_advice_per_phase) == 2
     assert pk.vk.challenge_pins, "challenge pin missing from vk"
+    # halo2 Challenge API shape: the pin is structural — no committed
+    # q_chal fixed column exists anywhere in the vk
+    assert not hasattr(pk.vk, "chal_q_commitments")
+    assert all(len(pin) == 3 for pin in pk.vk.challenge_pins)
 
     pb = BaseCircuitBuilder.prover(pk.config_params, bps)
     gate = GateChip(FR_BN254)

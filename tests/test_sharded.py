@@ -50,3 +50,43 @@ def test_sharded_ntt_matches_single_device(mesh):
     single = NTT(df, k).forward(packed)
     sharded = ShardedNTT(df, k, mesh).forward(packed)
     assert df.unpack(sharded) == df.unpack(single)
+
+
+def _tiny_builder(k: int):
+    from halo2_lib_tpu.core.cells import Constant, Existing
+    from halo2_lib_tpu.gates.circuit import BaseCircuitBuilder, CircuitBuilderStage
+    from halo2_lib_tpu.gates.flex_gate import GateChip
+
+    builder = BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(k)
+    gate = GateChip(FR_BN254)
+    ctx = builder.main(0)
+    x = ctx.load_witness(31415)
+    z = gate.mul(ctx, Existing(x), Existing(x))
+    for _ in range(8):
+        z = gate.mul_add(ctx, Existing(z), Existing(x), Constant(5))
+    builder.calculate_params(minimum_rows=9)
+    p = builder.config_params
+    p.num_advice_per_phase[0] = max(p.num_advice_per_phase[0], 2)
+    return builder
+
+
+def test_sharded_create_proof(mesh):
+    """Full prover over the mesh: witness rows sharded, every stage jit runs
+    SPMD, and the proof must equal the single-device proof bit-for-bit
+    (break-point/layout determinism across shardings, SURVEY §7)."""
+    from halo2_lib_tpu.backend.keygen import keygen
+    from halo2_lib_tpu.backend.kzg import gen_srs
+    from halo2_lib_tpu.backend.prover import create_proof
+    from halo2_lib_tpu.backend.verifier import verify_proof
+
+    k = 8
+    builder = _tiny_builder(k)
+    params = gen_srs(k)
+    pk = keygen(params, builder)
+    circuit = builder.synthesize()
+    proof = create_proof(params, pk, circuit, mesh=mesh)
+    assert verify_proof(params, pk.vk, proof)
+    # determinism across shardings: the mesh proof == the single-device proof
+    pk._runtime = None
+    proof_single = create_proof(params, pk, circuit)
+    assert proof == proof_single
