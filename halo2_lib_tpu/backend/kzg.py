@@ -363,9 +363,12 @@ class ParamsKZG:
         nat = get_native()
         return nat if nat is not None and hasattr(nat, "msm_commit") else None
 
-    def _host_msm_wanted(self, m: int) -> bool:
+    def _host_msm_wanted(self, m: int, ncols: int = 1) -> bool:
         """Heuristic for DEVICE-resident columns: always on CPU backends
-        (compile cost rules), small columns elsewhere (fetch is cheap)."""
+        (compile cost rules); elsewhere only when the device->host fetch is
+        small (measured on the tunneled TPU: the native path beats the
+        device MSM for single 2^15 columns — SHPLONK openings — but the
+        multi-column z fetch loses by 2x)."""
         if self._native_msm() is None:
             return False
         if os.environ.get("HALO2_HOST_MSM") == "1":
@@ -374,7 +377,7 @@ class ParamsKZG:
 
         if jax.default_backend() == "cpu":
             return True
-        return m <= 1024
+        return ncols * m <= int(os.environ.get("HALO2_HOST_MSM_FETCH_MAX", "65536"))
 
     def host_ints_commit_wanted(self, m: int) -> bool:
         """Host-resident int columns: no fetch needed, so the native path is
@@ -545,7 +548,7 @@ class ParamsKZG:
             return jnp.zeros((0, 33), jnp.uint32)
         m = vals_mont.shape[2]
         lagrange = bases is self._lag_affine
-        if (lagrange or bases is self._packed_affine) and self._host_msm_wanted(m):
+        if (lagrange or bases is self._packed_affine) and self._host_msm_wanted(m, C):
             return self._commit_host_tensor(fr_df, vals_mont, lagrange)
         fn = self._commit_chunk_jit(fr_df, m, window_bits)
         return dispatch_cols(

@@ -809,6 +809,14 @@ def create_proof(
             permuted_host, allz_lag, insts, _host_col, theta, beta, gamma,
         )
     com3 = params.commit_columns(df, allz_lag, T["lagA"])
+    # overlap: the quotient's NTT batch depends only on the columns (not on
+    # y), so dispatch it NOW — it runs on device while the z-commit MSM
+    # finishes and the host blocks on the commitment fetch below
+    runtime_lag = jnp.concatenate(
+        [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
+    )
+    runtime_coeffs = dom.ntt.inverse_cols(runtime_lag)
+    runtime_ext = dom.coset_ntt.forward_cols(_pad_coeff(runtime_coeffs, dom.n_ext))
     for pt in _host_points(dc, com3):
         tr.write_point(pt)
     permz_lag = allz_lag[:nchunks]
@@ -944,11 +952,8 @@ def create_proof(
         return df._mont_mul(acc, T["zh_inv"])
 
     ych = dom.pack([y])
-    runtime_lag = jnp.concatenate(
-        [adv_lag, lk_lag, dyn_lag, inst_lag, permuted_lag, allz_lag], axis=0
-    )
-    runtime_coeffs = dom.ntt.inverse_cols(runtime_lag)
-    runtime_ext = dom.coset_ntt.forward_cols(_pad_coeff(runtime_coeffs, dom.n_ext))
+    # runtime_lag / runtime_coeffs / runtime_ext were dispatched before the
+    # z-commitment fetch (overlap); only s4b below depends on y
     if _os.environ.get("HALO2_PROVER_SELFCHECK") == "2":
         # pipeline fault localization: every runtime/table column must
         # round-trip ext -> coeffs (degree < n) -> lag identically

@@ -22,11 +22,12 @@ tests/test_pallas_field.py via interpret mode.
 Algorithm notes
 ---------------
 * Convolution: ``cols[i+j] += lo(a_i*b_j)``, ``cols[i+j+1] += hi(a_i*b_j)``
-  done as 16 static sublane rolls of a zero-padded ``[32, B]`` product
-  block accumulated into ``[40, B]`` (40 = 5 sublane tiles). Column sums
-  stay < 2^22, safe in uint32 lanes.
-* Carry chains are the only sequential parts: 16 (resp. 17) row steps of
-  mask/shift. Rows are ``[1, B]`` — sublane-thin but lane-full.
+  accumulated into per-8-row TILE accumulators with static slices only
+  (iteration i touches just the 3 tiles covering rows i..i+16 — full
+  [40, B] rolls/adds made the kernel mostly move zeros). Column sums stay
+  < 2^22, safe in uint32 lanes.
+* Carry/borrow chains are log-depth Kogge-Stone over the limb axis in pure
+  uint32 masks (Mosaic cannot bitcast i1 vregs).
 * The EC add groups its 23 Montgomery multiplies into 6 stacked rounds
   ``[G, 16, B]`` exactly like ops/ec_device.py's XLA path, so the VPU
   sees few, fat ops.
@@ -85,18 +86,25 @@ def _conv(at, bt):
     """Product columns of two limb-major values: [..., 16, B] -> [..., 40, B].
 
     cols[k] = sum_{i+j=k} lo(a_i*b_j) + sum_{i+j+1=k} hi(a_i*b_j); every
-    partial sum < 2^22. Shifts are static sublane rolls of a zero-padded
-    block (nonzero rows 0..15 shifted by <= 16 stay inside 40, no wrap).
+    partial sum < 2^22.
+
+    Iteration i touches ONLY rows i..i+16 via a static slice-add: the old
+    formulation rolled and added full zero-padded [40, B] blocks (6 fat ops
+    per iteration), which made the kernel ~15x slower than its VPU op-count
+    floor — most of the vector work was moving zeros.
     """
-    zpad = jnp.zeros(at.shape[:-2] + (_CPAD - N_LIMBS,) + at.shape[-1:], jnp.uint32)
-    cols = None
+    ntile = _CPAD // 8
+    accs = [None] * ntile
     for i in range(N_LIMBS):
         prod = at[..., i : i + 1, :] * bt  # [..., 16, B] exact u32
-        lo = jnp.concatenate([prod & MASK, zpad], axis=-2)  # [..., 40, B]
-        hi = jnp.concatenate([prod >> LIMB_BITS, zpad], axis=-2)
-        c = _roll(lo, i, lo.ndim - 2) + _roll(hi, i + 1, hi.ndim - 2)
-        cols = c if cols is None else cols + c
-    return cols
+        c = _pad_rows(prod & MASK, 0, 1) + _pad_rows(prod >> LIMB_BITS, 1, 0)
+        q, r = divmod(i, 8)
+        c24 = _pad_rows(c, r, 7 - r)  # 24 rows, aligned to tile q
+        for t in range(3):
+            blk = c24[..., 8 * t : 8 * (t + 1), :]
+            accs[q + t] = blk if accs[q + t] is None else accs[q + t] + blk
+    zero = jnp.zeros(at.shape[:-2] + (8,) + at.shape[-1:], jnp.uint32)
+    return jnp.concatenate([a if a is not None else zero for a in accs], axis=-2)
 
 
 # Carry/borrow chains are Kogge-Stone over the limb (sublane) axis — log2(k)
@@ -190,20 +198,25 @@ def _cond_sub_p(t, p17):
 
 
 def _conv_const(at, c):
-    """_conv against a compile-time constant 16-limb value (list of ints)."""
-    zpad = jnp.zeros(at.shape[:-2] + (_CPAD - N_LIMBS,) + at.shape[-1:], jnp.uint32)
-    cols = None
+    """_conv against a compile-time constant 16-limb value (list of ints).
+
+    Same static slice-add structure as _conv (i indexes the CONSTANT's
+    limb; the variable limbs are the rows, so the contribution lands at
+    rows i..i+16)."""
+    ntile = _CPAD // 8
+    accs = [None] * ntile
     for i in range(N_LIMBS):
         if not c[i]:
             continue
         prod = jnp.uint32(c[i]) * at  # [..., 16, B] exact u32 (c[i] < 2^16)
-        lo = jnp.concatenate([prod & MASK, zpad], axis=-2)
-        hi = jnp.concatenate([prod >> LIMB_BITS, zpad], axis=-2)
-        # here i indexes the CONSTANT's limb: the variable limbs are the rows,
-        # so lo lands at rows i..i+15 exactly as in _conv
-        cc = _roll(lo, i, lo.ndim - 2) + _roll(hi, i + 1, hi.ndim - 2)
-        cols = cc if cols is None else cols + cc
-    return cols
+        cc = _pad_rows(prod & MASK, 0, 1) + _pad_rows(prod >> LIMB_BITS, 1, 0)
+        q, r = divmod(i, 8)
+        c24 = _pad_rows(cc, r, 7 - r)
+        for t in range(3):
+            blk = c24[..., 8 * t : 8 * (t + 1), :]
+            accs[q + t] = blk if accs[q + t] is None else accs[q + t] + blk
+    zero = jnp.zeros(at.shape[:-2] + (8,) + at.shape[-1:], jnp.uint32)
+    return jnp.concatenate([a if a is not None else zero for a in accs], axis=-2)
 
 
 def _conv_const_low(at, c):
