@@ -164,9 +164,11 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     """bn254 G1 MSM throughput (BASELINE.json headline kernel).
 
     Digits are generated on device (uploading 2^20 scalars over a remote
-    tunnel would dwarf the kernel); bases repeat a 256-point window — the
-    arithmetic cost is identical and the complete mixed add handles the
-    duplicate-base doubling cases.
+    tunnel would dwarf the kernel). Bases are DISTINCT points built on
+    device — sums base1[i%256] + base2[(i//256)%256] + base3[i//65536] of
+    three independent 256-point host sets, so 2^20 unique points — giving
+    the bucket gather the HBM access pattern of a real SRS (a repeated
+    256-point window would flatter the kernel's gather locality).
     """
     import random
 
@@ -180,9 +182,27 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     rng = random.Random(12)
     n = 1 << log_n
     dc = DeviceCurve(DeviceField(BN254_G1.base), BN254_G1)
-    base_pts = [BN254_G1.random_point(rng) for _ in range(256)]
-    P0 = dc.pack_points(base_pts)  # [16, 256] coords
-    P = tuple(jnp.tile(t, (1, n // 256)) for t in P0)
+    sets = [
+        dc.pack_points([BN254_G1.random_point(rng) for _ in range(256)])
+        for _ in range(3)
+    ]
+
+    @jax.jit
+    def make_bases(s1, s2, s3):
+        reps = n // 256
+        a = tuple(jnp.tile(t, (1, reps)) for t in s1)
+        b = tuple(jnp.repeat(t, 256, axis=1)[:, :n] for t in s2)
+        c = tuple(jnp.repeat(t, 65536, axis=1)[:, :n] for t in s3)
+        X, Y, Z = dc._add(dc._add(a, b), c)
+        # normalize to the affine lift msm_device expects (Z = R)
+        df = dc.df
+        zinv = df._batch_inv(Z)
+        zi2 = df._mont_mul(zinv, zinv)
+        ax = df._mont_mul(X, zi2)
+        ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
+        return (ax, ay, df.one_mont((ax.shape[-1],)))
+
+    P = make_bases(*sets)
     key = jax.random.PRNGKey(7)
     digit_sets = [
         jax.random.randint(jax.random.fold_in(key, i), (32, n), 0, 256, dtype=jnp.int32)

@@ -123,6 +123,13 @@ class NativeEmitter:
         else returns the b[0]==Constant(1) flag (0/1)."""
         return self.mod.emit_inner_product(self._p, self._r2, ctx, a, b)
 
+    def range_check(self, ctx, a, limb_bases, num_limbs, lookup_bits, rows):
+        """Whole multi-limb range_check (decompose + inner product + lookup
+        rows); returns the last-limb AssignedValue, or None = fall back."""
+        return self.mod.emit_range_check(
+            self._p, self._r2, ctx, a, limb_bases, num_limbs, lookup_bits, rows
+        )
+
 
 class NativeField:
     """Bulk canonical-form field ops over a prime < 2^256."""

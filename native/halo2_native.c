@@ -459,6 +459,222 @@ done:
     return PyLong_FromLong(result);
 }
 
+/* emit_range_check(p32, r2_32, ctx, a_av, blist, num_limbs, lookup_bits,
+ *                  lookup_rows) -> last-limb AssignedValue, or None = fall back
+ *
+ * The whole multi-limb range_check hot path (range/mod.rs:512-564) in one
+ * call: decompose a into lookup_bits limbs, emit the b[0]==1 inner-product
+ * region against the Constant limb bases, record the a == acc copy, build
+ * the limb AssignedValues and append them as rows to the lookup manager's
+ * bucket list. Python keeps only the rem_bits tail. */
+static PyObject *py_emit_range_check(PyObject *self, PyObject *args) {
+    Py_buffer pb, r2b;
+    PyObject *ctx, *a_av, *blist, *rows;
+    long num_limbs, lookup_bits;
+    if (!PyArg_ParseTuple(args, "y*y*OOOllO", &pb, &r2b, &ctx, &a_av, &blist,
+                          &num_limbs, &lookup_bits, &rows))
+        return NULL;
+    FieldCtx f;
+    ctx_from_bytes(&f, pb.buf, r2b.buf);
+    PyBuffer_Release(&pb);
+    PyBuffer_Release(&r2b);
+
+    PyObject *advice = NULL, *selector = NULL, *cm = NULL, *adv_eq = NULL,
+             *const_eq = NULL, *tid = NULL, *cid = NULL, *resobj = NULL;
+    QC *bq = NULL;
+    PyObject **limb_longs = NULL;
+
+    if (!g_contextcell || !g_assignedvalue || !PyList_Check(blist) ||
+        !PyList_Check(rows) || num_limbs < 2 ||
+        PyList_GET_SIZE(blist) < num_limbs || lookup_bits < 1 || lookup_bits > 62)
+        goto fallback;
+
+    /* a: value must be a plain int (Rational witnesses fall back) */
+    PyObject *a_val = PyObject_GetAttr(a_av, s_value);
+    PyObject *a_cell = PyObject_GetAttr(a_av, s_cell);
+    if (!a_val || !PyLong_Check(a_val)) {
+        Py_XDECREF(a_val); Py_XDECREF(a_cell);
+        goto fallback;
+    }
+    u64 afe[4];
+    if (load_fe(a_val, afe, &f) < 0) {
+        Py_DECREF(a_val); Py_XDECREF(a_cell);
+        goto fallback;
+    }
+
+    advice = PyObject_GetAttr(ctx, s_advice);
+    selector = PyObject_GetAttr(ctx, s_selector);
+    cm = PyObject_GetAttr(ctx, s_copy_manager);
+    tid = PyObject_GetAttr(ctx, s_type_id);
+    cid = PyObject_GetAttr(ctx, s_context_id);
+    PyObject *wg_o = PyObject_GetAttr(ctx, s_wg_only);
+    int wg_only = 0;
+    if (!advice || !selector || !cm || !tid || !cid || !wg_o) {
+        Py_XDECREF(wg_o); Py_DECREF(a_val); Py_XDECREF(a_cell);
+        goto fallback;
+    }
+    wg_only = PyObject_IsTrue(wg_o);
+    Py_DECREF(wg_o);
+    if (!wg_only) {
+        adv_eq = PyObject_GetAttr(cm, s_adv_eq);
+        const_eq = PyObject_GetAttr(cm, s_const_eq);
+        if (!adv_eq || !const_eq) { Py_DECREF(a_val); Py_XDECREF(a_cell); goto fallback; }
+    }
+    if (!PyList_Check(advice)) { Py_DECREF(a_val); Py_XDECREF(a_cell); goto fallback; }
+
+    bq = PyMem_Malloc(sizeof(QC) * (size_t)num_limbs);
+    limb_longs = PyMem_Calloc((size_t)num_limbs, sizeof(PyObject *));
+    if (!bq || !limb_longs) { Py_DECREF(a_val); Py_XDECREF(a_cell); goto fallback; }
+    for (long i = 0; i < num_limbs; i++) {
+        if (parse_qc(PyList_GET_ITEM(blist, i), &bq[i], &f, 1) < 0) {
+            Py_DECREF(a_val); Py_XDECREF(a_cell);
+            goto fallback;
+        }
+    }
+    int b0_one = (bq[0].kind == K_CONSTANT && bq[0].fe[0] == 1 &&
+                  !(bq[0].fe[1] | bq[0].fe[2] | bq[0].fe[3]));
+    if (!b0_one) { Py_DECREF(a_val); Py_XDECREF(a_cell); goto fallback; }
+
+    /* decompose: limb_j = (a >> j*lookup_bits) & mask (truncating, same as
+     * decompose_fe_to_u64_limbs) */
+    u64 mask = (lookup_bits == 64) ? ~0ULL : ((1ULL << lookup_bits) - 1);
+    u64 limbs[64];
+    for (long j = 0; j < num_limbs && j < 64; j++) {
+        long bit = j * lookup_bits;
+        long w = bit / 64, off = bit % 64;
+        u64 v = (w < 4) ? (afe[w] >> off) : 0;
+        if (off && w + 1 < 4) v |= afe[w + 1] << (64 - off);
+        limbs[j] = v & mask;
+    }
+    for (long j = 0; j < num_limbs; j++) {
+        limb_longs[j] = PyLong_FromUnsignedLongLong(limbs[j]);
+        if (!limb_longs[j]) { Py_DECREF(a_val); Py_XDECREF(a_cell); goto hard_error; }
+    }
+
+    Py_ssize_t row0 = PyList_GET_SIZE(advice);
+
+#define RC_APPEND(v, kind, cell_o)                                             \
+    do {                                                                       \
+        if (PyList_Append(advice, (v)) < 0) goto hard_error2;                  \
+        if (!wg_only && (kind) == K_CONSTANT) {                                \
+            PyObject *me = make_cell(tid, cid, PyList_GET_SIZE(advice) - 1);   \
+            if (!me) goto hard_error2;                                         \
+            PyObject *pair = PyTuple_Pack(2, (v), me);                         \
+            Py_DECREF(me);                                                     \
+            if (!pair) goto hard_error2;                                       \
+            int rc = PyList_Append(const_eq, pair);                            \
+            Py_DECREF(pair);                                                   \
+            if (rc < 0) goto hard_error2;                                      \
+        }                                                                      \
+    } while (0)
+
+    {
+        u64 s[4], limbfe[4];
+        /* row 0: limb 0 (witness) */
+        RC_APPEND(limb_longs[0], K_WITNESS, NULL);
+        memset(s, 0, 32);
+        s[0] = limbs[0];
+        for (long i = 1; i < num_limbs; i++) {
+            u64 prod[4];
+            memset(limbfe, 0, 32);
+            limbfe[0] = limbs[i];
+            mulmod(prod, limbfe, bq[i].fe, &f);
+            addmod(s, s, prod, &f);
+            RC_APPEND(limb_longs[i], K_WITNESS, NULL);
+            RC_APPEND(bq[i].value, bq[i].kind, bq[i].cell);
+            PyObject *sv = fe_to_long(s);
+            if (!sv) goto hard_error2;
+            int rc = PyList_Append(advice, sv);
+            Py_DECREF(sv);
+            if (rc < 0) goto hard_error2;
+        }
+    }
+#undef RC_APPEND
+
+    if (!wg_only) {
+        /* selector pad + gates every 3 rows */
+        Py_ssize_t alen = PyList_GET_SIZE(advice);
+        Py_ssize_t slen = PyList_GET_SIZE(selector);
+        for (Py_ssize_t r = slen; r < alen; r++)
+            if (PyList_Append(selector, Py_False) < 0) goto hard_error2;
+        Py_ssize_t ngates = (alen - row0) / 3;
+        for (Py_ssize_t g = 0; g < ngates; g++) {
+            Py_INCREF(Py_True);
+            if (PyList_SetItem(selector, row0 + 3 * g, Py_True) < 0) goto hard_error2;
+        }
+        /* a == acc (the last running sum) */
+        if (a_cell && a_cell != Py_None) {
+            PyObject *acc_cell = make_cell(tid, cid, PyList_GET_SIZE(advice) - 1);
+            if (!acc_cell) goto hard_error2;
+            PyObject *pair = PyTuple_Pack(2, a_cell, acc_cell);
+            Py_DECREF(acc_cell);
+            if (!pair) goto hard_error2;
+            int rc = PyList_Append(adv_eq, pair);
+            Py_DECREF(pair);
+            if (rc < 0) goto hard_error2;
+        }
+    }
+
+    /* limb AssignedValues -> lookup rows; limb i>=1 sits at row0 + 1 + 3(i-1) */
+    for (long i = 0; i < num_limbs; i++) {
+        Py_ssize_t off = (i == 0) ? row0 : row0 + 1 + 3 * (i - 1);
+        PyObject *cell_o;
+        if (wg_only) {
+            cell_o = Py_None;
+            Py_INCREF(Py_None);
+        } else {
+            cell_o = make_cell(tid, cid, off);
+            if (!cell_o) goto hard_error2;
+        }
+        PyObject *av = PyObject_CallFunctionObjArgs(
+            g_assignedvalue, limb_longs[i], cell_o, NULL);
+        Py_DECREF(cell_o);
+        if (!av) goto hard_error2;
+        if (i == num_limbs - 1) {
+            resobj = av;
+            Py_INCREF(av);
+        }
+        PyObject *tup = PyTuple_Pack(1, av);
+        Py_DECREF(av);
+        if (!tup) goto hard_error2;
+        int rc = PyList_Append(rows, tup);
+        Py_DECREF(tup);
+        if (rc < 0) goto hard_error2;
+    }
+
+    Py_DECREF(a_val);
+    Py_XDECREF(a_cell);
+    goto done;
+
+hard_error2:
+    Py_DECREF(a_val);
+    Py_XDECREF(a_cell);
+hard_error:
+    Py_XDECREF(resobj);
+    Py_XDECREF(advice); Py_XDECREF(selector); Py_XDECREF(cm);
+    Py_XDECREF(adv_eq); Py_XDECREF(const_eq); Py_XDECREF(tid); Py_XDECREF(cid);
+    if (limb_longs) {
+        for (long j = 0; j < num_limbs; j++) Py_XDECREF(limb_longs[j]);
+        PyMem_Free(limb_longs);
+    }
+    PyMem_Free(bq);
+    return NULL;
+
+fallback:
+    PyErr_Clear();
+    resobj = Py_None;
+    Py_INCREF(Py_None);
+done:
+    Py_XDECREF(advice); Py_XDECREF(selector); Py_XDECREF(cm);
+    Py_XDECREF(adv_eq); Py_XDECREF(const_eq); Py_XDECREF(tid); Py_XDECREF(cid);
+    if (limb_longs) {
+        for (long j = 0; j < num_limbs; j++) Py_XDECREF(limb_longs[j]);
+        PyMem_Free(limb_longs);
+    }
+    PyMem_Free(bq);
+    return resobj;
+}
+
 /* emit_region(ctx, cells, gate_offsets) -> n appended, or -1 = fall back.
  *
  * The generic Context.assign_region core (halo2-base lib.rs:310-335): append
@@ -951,6 +1167,8 @@ static PyMethodDef Methods[] = {
      "native running-sum inner-product region emitter"},
     {"emit_region", py_emit_region, METH_VARARGS,
      "native generic assign_region emitter"},
+    {"emit_range_check", py_emit_range_check, METH_VARARGS,
+     "native range_check: decompose + inner product + lookup rows"},
     {NULL, NULL, 0, NULL},
 };
 
