@@ -221,6 +221,62 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     }
 
 
+def bench_inner_product(k: int = 19, iters: int = 2) -> dict:
+    """Criterion-analog micro-bench: create_proof latency for a circuit of
+    repeated 5-element inner products at k=19 (the reference's
+    halo2-base/benches/inner_product.rs:36-71 shape)."""
+    import random
+
+    from halo2_lib_tpu.backend.keygen import keygen
+    from halo2_lib_tpu.backend.kzg import gen_srs
+    from halo2_lib_tpu.backend.prover import create_proof
+    from halo2_lib_tpu.backend.verifier import verify_proof
+    from halo2_lib_tpu.core.cells import Existing, Witness
+    from halo2_lib_tpu.gates.circuit import BaseCircuitBuilder, CircuitBuilderStage
+    from halo2_lib_tpu.gates.flex_gate import GateChip
+    from halo2_lib_tpu.utils.fields import FR_BN254
+    from halo2_lib_tpu.utils.pinning import pinning_of
+
+    rng = random.Random(0)
+
+    def witness(builder):
+        gate = GateChip(FR_BN254)
+        ctx = builder.main(0)
+        # ~fill the usable rows with 5-element inner products (11 cells each)
+        reps = ((1 << k) - 16) // 11
+        for _ in range(reps):
+            a = [Witness(rng.randrange(FR_BN254.p)) for _ in range(5)]
+            b = [Witness(rng.randrange(FR_BN254.p)) for _ in range(5)]
+            gate.inner_product(ctx, a, b)
+        return builder
+
+    builder = witness(BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(k))
+    builder.calculate_params(minimum_rows=9)
+    p = builder.config_params
+    p.num_advice_per_phase[0] = max(p.num_advice_per_phase[0], 2)
+    params = gen_srs(k)
+    pk = keygen(params, builder)
+    pinning = pinning_of(builder)
+
+    def e2e():
+        pb = pinning.prover_builder()
+        witness(pb)
+        return create_proof(params, pk, pb)
+
+    proof = e2e()  # warmup / compiles
+    assert verify_proof(params, pk.vk, proof)
+    t0 = time.time()
+    for _ in range(iters):
+        proof = e2e()
+    dt = (time.time() - t0) / iters
+    return {
+        "metric": f"inner_product_prove_k{k}_latency",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }
+
+
 def bench_ntt(log_n: int = 22, iters: int = 5) -> dict:
     import jax
     import jax.numpy as jnp
@@ -266,6 +322,8 @@ def main():
             result = bench_ntt()
         elif mode == "msm":
             result = bench_msm(int(os.environ.get("HALO2_BENCH_MSM_LOGN", "20")))
+        elif mode == "inner_product":
+            result = bench_inner_product(int(os.environ.get("HALO2_BENCH_IP_K", "19")))
         else:
             result = bench_ecdsa(k)
             # standing kernel metrics alongside the headline latency

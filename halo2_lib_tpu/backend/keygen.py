@@ -141,6 +141,19 @@ class VerifyingKey:
         h.update(self.to_bytes())
         return h.digest()
 
+    def transcript_repr(self) -> int:
+        """The vk as an Fr scalar, absorbed at transcript init — halo2's
+        `VerifyingKey::transcript_repr` mechanism exactly (keygen.rs:
+        blake2b-512 with personalization "Halo2-Verify-Key" over the u64-LE
+        length-prefixed serialized vk, reduced via from_uniform_bytes).
+        halo2 hashes the Rust Debug format of the pinned ConstraintSystem;
+        we hash the canonical vk bytes (PARITY.md documents the divergence)."""
+        s = self.to_bytes()
+        h = hashlib.blake2b(person=b"Halo2-Verify-Key")
+        h.update(len(s).to_bytes(8, "little"))
+        h.update(s)
+        return int.from_bytes(h.digest(), "little") % FR_BN254.p
+
 
 @dataclass
 class ProvingKey:

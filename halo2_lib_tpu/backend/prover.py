@@ -552,9 +552,10 @@ def create_proof(
     while len(instance_vals) < vk.num_instance:
         instance_vals.append([0] * n)
 
-    # --- transcript init ---------------------------------------------------
+    # --- transcript init: vk absorbed as a scalar, halo2's
+    # vk.hash_into(transcript) (common_scalar of transcript_repr) -----------
     tr = Blake2bWrite()
-    tr.common_bytes(vk.hash())
+    tr.common_scalar(vk.transcript_repr())
     for col in instances:
         for v in col:
             tr.common_scalar(v)

@@ -60,7 +60,7 @@ def _verify_proof_inner(
     n = 1 << k
     dom = get_domain(k)
     tr = Blake2bRead(proof)
-    tr.common_bytes(vk.hash())
+    tr.common_scalar(vk.transcript_repr())
     for col in instances:
         for v in col:
             tr.common_scalar(v)

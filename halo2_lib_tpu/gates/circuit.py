@@ -118,6 +118,16 @@ class BaseCircuitBuilder:
         # constrain_challenge)
         self.challenge_pins: dict[int, AssignedValue] = {}
 
+    def deep_clone(self) -> "BaseCircuitBuilder":
+        """Full clone with a freshly shared copy manager (circuit/
+        builder.rs:116-124): mutating the clone leaves self untouched.
+        Python's deepcopy memo preserves the internal sharing (the core and
+        every lookup manager reference the SAME cloned CopyConstraintManager,
+        mirroring the Arc<Mutex<_>> re-wiring in the reference)."""
+        import copy
+
+        return copy.deepcopy(self)
+
     # --- constructors --------------------------------------------------------
     @staticmethod
     def from_stage(stage: CircuitBuilderStage, field: PrimeField = FR_BN254) -> "BaseCircuitBuilder":
