@@ -316,7 +316,7 @@ def main():
     # Leave headroom under the driver's run budget: kernel side-benches are
     # skipped when the headline path (cold XLA compiles included) already
     # consumed this many seconds.
-    budget_s = float(os.environ.get("HALO2_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("HALO2_BENCH_BUDGET_S", "600"))
     try:
         if mode == "ntt":
             result = bench_ntt()
