@@ -1,18 +1,23 @@
 """Driver benchmark: prints ONE JSON line.
 
-Headline metric: secp256k1 ECDSA-verify circuit create_proof latency at k=15
-(the reference's best published number is 1.98 s on an M2 Max —
-BASELINE.md). `vs_baseline` > 1 means faster than the reference.
+Headline metric: HONEST end-to-end secp256k1 ECDSA-verify proving latency at
+k=15 — witness re-generation on a pinned prover builder + synthesis +
+create_proof, the same region the reference's published 1.98 s covers
+(its create_proof re-runs the witness closure; BASELINE.md).
+`vs_baseline` > 1 means faster than the reference.
 
 Runs on whatever JAX platform the ambient environment provides (real TPU
 under the driver; CPU works too). First invocation pays SRS generation and
-XLA compiles; the SRS is cached under params/ and compiles in the persistent
-XLA cache, so steady-state rounds measure the real proving time.
+XLA compiles; the SRS is cached under params/ and compiles land in the
+persistent XLA cache (params/xla_cache/tpu-v1 ships a warm TPU seed), so
+steady-state rounds measure the real proving time. MSM and NTT kernel
+throughputs ride along in `extra` when the time budget allows.
 
 Fallback: if the full prover path fails, report device NTT throughput so the
 round still produces a benchmark point.
 
-Env knobs: HALO2_BENCH=ecdsa|ntt (default ecdsa), HALO2_BENCH_K (default 15).
+Env knobs: HALO2_BENCH=ecdsa|ntt|msm|inner_product (default ecdsa),
+HALO2_BENCH_K (default 15), HALO2_BENCH_BUDGET_S, HALO2_BENCH_NO_KERNELS.
 """
 
 import json
@@ -182,27 +187,17 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     rng = random.Random(12)
     n = 1 << log_n
     dc = DeviceCurve(DeviceField(BN254_G1.base), BN254_G1)
-    sets = [
-        dc.pack_points([BN254_G1.random_point(rng) for _ in range(256)])
-        for _ in range(3)
-    ]
-
-    @jax.jit
-    def make_bases(s1, s2, s3):
-        reps = n // 256
-        a = tuple(jnp.tile(t, (1, reps)) for t in s1)
-        b = tuple(jnp.repeat(t, 256, axis=1)[:, :n] for t in s2)
-        c = tuple(jnp.repeat(t, 65536, axis=1)[:, :n] for t in s3)
-        X, Y, Z = dc._add(dc._add(a, b), c)
-        # normalize to the affine lift msm_device expects (Z = R)
-        df = dc.df
-        zinv = df._batch_inv(Z)
-        zi2 = df._mont_mul(zinv, zinv)
-        ax = df._mont_mul(X, zi2)
-        ay = df._mont_mul(Y, df._mont_mul(zi2, zinv))
-        return (ax, ay, df.one_mont((ax.shape[-1],)))
-
-    P = make_bases(*sets)
+    # 2^16 distinct points s1[i % 256] + s2[i // 256], built with exact host
+    # adds (untimed setup; device-side construction would add a fresh XLA
+    # compile to the bench, and the MSM executable itself is shape-keyed so
+    # the base CONTENT does not recompile anything). Tiled to n: at least
+    # 2^16 unique gather targets instead of a 256-point window.
+    s1 = [BN254_G1.random_point(rng) for _ in range(256)]
+    s2 = [BN254_G1.random_point(rng) for _ in range(256)]
+    pts = [BN254_G1.add(s1[i % 256], s2[i // 256]) for i in range(min(n, 1 << 16))]
+    P0 = dc.pack_points(pts)
+    reps = max(n // len(pts), 1)
+    P = tuple(jnp.tile(t, (1, reps))[:, :n] for t in P0)
     key = jax.random.PRNGKey(7)
     digit_sets = [
         jax.random.randint(jax.random.fold_in(key, i), (32, n), 0, 256, dtype=jnp.int32)
