@@ -169,11 +169,9 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     """bn254 G1 MSM throughput (BASELINE.json headline kernel).
 
     Digits are generated on device (uploading 2^20 scalars over a remote
-    tunnel would dwarf the kernel). Bases are DISTINCT points built on
-    device — sums base1[i%256] + base2[(i//256)%256] + base3[i//65536] of
-    three independent 256-point host sets, so 2^20 unique points — giving
-    the bucket gather the HBM access pattern of a real SRS (a repeated
-    256-point window would flatter the kernel's gather locality).
+    tunnel would dwarf the kernel). Bases are 2^16 DISTINCT host-computed
+    points tiled to n, so the bucket gather sees an SRS-like HBM access
+    pattern instead of a repeated 256-point window (see inline comment).
     """
     import random
 
