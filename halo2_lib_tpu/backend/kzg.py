@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ec_device import DeviceCurve, msm_device, msm_many_device
+from ..ops.ec_device import MSM_WINDOW_BITS, DeviceCurve, msm_device, msm_many_device
 from ..ops.limbs import N_LIMBS, DeviceField
 from ..utils.curves import BN254_G1, BN254_G2, FQ2_BN254, BN254_G2_B
 from ..utils.fields import FQ_BN254, FR_BN254
@@ -528,7 +528,7 @@ class ParamsKZG:
             self._commit_jits[key] = fn
         return fn
 
-    def commit_columns(self, fr_df, vals_mont, bases, window_bits: int = 8):
+    def commit_columns(self, fr_df, vals_mont, bases, window_bits: int = MSM_WINDOW_BITS):
         """[C, 16, m] Montgomery columns -> packed uint32[C, 33] canonical
         affine commitments (x limbs | y limbs | inf flag) over C.
 
@@ -555,7 +555,7 @@ class ParamsKZG:
             vals_mont, COMMIT_CHUNK, lambda b: (lambda v: fn(v, bases[0], bases[1]))
         )
 
-    def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = 8, bases=None):
+    def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = MSM_WINDOW_BITS, bases=None):
         """Traceable batched commitment: [C, 16, m] Montgomery column values
         (evaluation form if `lagrange`, else coefficients) -> [C] Jacobian
         points ([16, C] coords). Safe to call inside a larger jit (no host
@@ -573,7 +573,7 @@ class ParamsKZG:
         )
         return msm_many_device(self.device_curve(), A, digits, window_bits, True)
 
-    def commit(self, coeffs: list[int], window_bits: int = 8):
+    def commit(self, coeffs: list[int], window_bits: int = MSM_WINDOW_BITS):
         """Commit to a polynomial in coefficient form: MSM(g, coeffs) -> affine point."""
         assert len(coeffs) <= self.n
         dc = self.device_curve()
@@ -584,7 +584,7 @@ class ParamsKZG:
         out = msm_device(dc, P, digits, window_bits)
         return dc.unpack_points(out)[0]
 
-    def commit_lagrange(self, evals: list[int], window_bits: int = 8):
+    def commit_lagrange(self, evals: list[int], window_bits: int = MSM_WINDOW_BITS):
         """Commit to a polynomial given by its evaluations on H (no IFFT)."""
         assert len(evals) <= self.n
         dc = self.device_curve()
@@ -595,7 +595,7 @@ class ParamsKZG:
         out = msm_device(dc, P, digits, window_bits)
         return dc.unpack_points(out)[0]
 
-    def commit_dev(self, coeffs_dev, fr_df, window_bits: int = 8):
+    def commit_dev(self, coeffs_dev, fr_df, window_bits: int = MSM_WINDOW_BITS):
         """Commit from a device Montgomery coeff tensor [16, m], m <= n."""
         out = self.commit_many_inside(fr_df, coeffs_dev[None], False, window_bits)
         dc = self.device_curve()
@@ -608,19 +608,20 @@ class ParamsKZG:
 def window_digits(fr_df: DeviceField, vals_mont, window_bits: int = 8):
     """[..., 16, m] Montgomery scalars -> int32[..., W, m] window digits.
 
-    Pure device math (traceable): one from_mont plus shift/mask per window.
-    `window_bits` must divide the 16-bit limb width.
+    Pure device math (traceable): one from_mont plus shift/mask (and a
+    cross-limb stitch for widths that don't divide 16) per window.
     """
-    assert 16 % window_bits == 0, "window_bits must divide the limb width"
-    per_limb = 16 // window_bits
     mask = (1 << window_bits) - 1
     num_windows = -(-254 // window_bits)
     canon = fr_df._from_mont(vals_mont)  # [..., 16, m]
     outs = []
     for w in range(num_windows):
-        limb = canon[..., w // per_limb, :]
-        shift = (w % per_limb) * window_bits
-        outs.append(((limb >> shift) & mask).astype(jnp.int32))
+        lo_bit = w * window_bits
+        k, s = divmod(lo_bit, 16)
+        d = canon[..., k, :] >> s
+        if s + window_bits > 16 and k + 1 < N_LIMBS:
+            d = d | (canon[..., k + 1, :] << (16 - s))
+        outs.append((d & mask).astype(jnp.int32))
     return jnp.stack(outs, axis=-2)  # [..., W, m]
 
 
@@ -666,7 +667,10 @@ def gen_srs(k: int) -> ParamsKZG:
             with open(path, "rb") as f:
                 legacy = f.read(8) == _SRS_MAGIC
             if legacy:
-                params.write(path)  # migrate to the halo2 format
+                try:
+                    params.write(path)  # migrate to the halo2 format
+                except OSError:
+                    pass  # read-only params dir: migration is optional
             return params
         except ValueError:
             pass  # stale v1 file: regenerate below

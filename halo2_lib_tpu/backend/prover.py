@@ -989,7 +989,12 @@ def create_proof(
     # constraint is degree 5 and h has degree up to 4n - 5 -> FOUR pieces
     # (still exactly representable on the 4n coset).
     npieces = quotient_pieces(vk)
-    top_zero = jnp.all(h_coeffs[:, npieces * n :] == 0)
+    # deg h <= cs_degree*(n-1) - n = npieces*n - cs_degree (cs_degree =
+    # npieces + 1), so the top (cs_degree - 1) coefficients of the pieces
+    # must vanish too — checking from npieces*n - npieces keeps this guard
+    # live even when npieces equals the coset extension factor (where the
+    # plain [npieces*n:] slice is empty and the assert was vacuous).
+    top_zero = jnp.all(h_coeffs[:, npieces * n - npieces :] == 0)
     h_pieces = h_coeffs[:, : npieces * n].reshape(N_LIMBS, npieces, n).transpose(1, 0, 2)
     com4 = params.commit_columns(df, h_pieces, T["monoA"])
     # degree guard BEFORE the commitments enter the transcript: a quotient

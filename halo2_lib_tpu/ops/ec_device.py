@@ -404,12 +404,18 @@ def _seg_scan(dc: DeviceCurve, X, Y, Z, flag):
 
 
 # Memory budget for one MSM group: point-slots live at once inside the
-# bucket-accumulation scan (gathered bases + scan outputs, ~5 coord
-# tensors of 64 B each => ~2^21 * 320B ~ 670 MB peak).
-_MSM_GROUP_SLOTS = 1 << 21
+# bucket-accumulation scan (gathered packed bases 64 B + scan outputs 192 B
+# per slot => 2^22 slots ~ 1.1 GB peak).
+_MSM_GROUP_SLOTS = 1 << 22
 # Lanes of the bucket-accumulation scan: each scan step performs one
 # [windows x lanes]-wide mixed add; R = n / lanes sequential steps.
-_MSM_SCAN_LANES = 512
+_MSM_SCAN_LANES = 1024
+# Default Pippenger window width. 13 bits => 20 windows for 254-bit scalars
+# (vs 32 at c=8): 37% fewer mixed adds AND 37% less sorted-point gather —
+# the two dominant MSM costs. The 8191-bucket weighted reduction runs as a
+# blocked (acc, total) scan (see _bucket_weighted_total), so bucket count
+# no longer forces a 2^c-step sequential tail.
+MSM_WINDOW_BITS = 13
 
 
 def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: bool):
@@ -439,19 +445,26 @@ def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: b
     live = d_sorted > 0
 
     if _USE_PALLAS:
-        # fused path: one lane-gather of stacked (x over y) limb rows, then
-        # the whole R-step segmented scan in a single pallas kernel.
+        # fused path: one PACKED lane-gather (2x16-bit limbs per u32 — the
+        # random-lane gather is issue-bound, so packing doubles points/s),
+        # then the whole R-step segmented scan in a single pallas kernel.
         from . import pallas_field
 
-        Axy = jnp.concatenate([Ax, Ay], axis=0)  # [32, nb]
+        Axy = jnp.concatenate(
+            [
+                Ax[: N_LIMBS // 2] | (Ax[N_LIMBS // 2 :] << 16),
+                Ay[: N_LIMBS // 2] | (Ay[N_LIMBS // 2 :] << 16),
+            ],
+            axis=0,
+        )  # [16, nb] packed: row j = limbs j | j+8
         # order_perm[w, r, l] = sorted position l*R + r
         order_perm = order.reshape(Wb, CL, R).transpose(0, 2, 1)
         g = jnp.take(Axy, order_perm.reshape(-1), axis=1).reshape(
-            2 * N_LIMBS, Wb, R, CL
+            N_LIMBS, Wb, R, CL
         )
         live_perm = live.reshape(Wb, CL, R).transpose(0, 2, 1)
         g = jnp.where(live_perm[None], g, 0)
-        axy = g.transpose(1, 2, 0, 3)  # [Wb, R, 32, CL]
+        axy = g.transpose(1, 2, 0, 3)  # [Wb, R, 16, CL] packed
         st = seg_start.reshape(Wb, CL, R).transpose(0, 2, 1).astype(jnp.int32)
         out = pallas_field.bucket_scan(dc, axy, st, CL, distinct)  # [Wb,R,48,CL]
         last = out[:, R - 1]  # [Wb, 48, CL]
@@ -545,11 +558,13 @@ def _msm_from_digits(dc: DeviceCurve, A, digits: jax.Array, window_bits: int, di
     d_sorted = jnp.take_along_axis(flat, order, axis=1)
 
     Wtot = C * W
-    group = Wtot
-    while group > 1 and group * n > _MSM_GROUP_SLOTS:
-        # shrink to a divisor of Wtot under budget
-        cand = max(g for g in range(1, group) if Wtot % g == 0)
-        group = cand
+    divs = [g for g in range(1, Wtot + 1) if Wtot % g == 0 and g * n <= _MSM_GROUP_SLOTS]
+    # prefer groups divisible by the kernel's window block (4) so the scan
+    # kernel keeps its widest shape
+    good = [g for g in divs if g % 4 == 0] or divs or [1]
+    group = max(good)
+    if Wtot * n <= _MSM_GROUP_SLOTS:
+        group = Wtot
     if group == Wtot:
         bX, bY, bZ = _bucket_sums(dc, A, order, d_sorted, nbuckets, distinct)
     else:
@@ -561,27 +576,56 @@ def _msm_from_digits(dc: DeviceCurve, A, digits: jax.Array, window_bits: int, di
         )
         bX, bY, bZ = (t.reshape(Wtot, N_LIMBS, nbuckets) for t in gb)
 
-    # suffix-sum trick, vectorized across all windows:
-    # acc_b = sum_{j >= b} S_j ; window_total = sum_b acc_b
-    # scan over buckets, highest first; xs arranged [nbuckets, Wtot, 16] and
-    # the carried points live as limb-major [16, Wtot]
-    buckets_rev = (
-        bX[..., ::-1].transpose(2, 0, 1),
-        bY[..., ::-1].transpose(2, 0, 1),
-        bZ[..., ::-1].transpose(2, 0, 1),
+    # weighted bucket reduction T_w = sum_b b * S_b, BLOCKED: slot b-1 =
+    # r*CL2 + l. A descending (acc, total) scan over the R2 slot-rows
+    # (vectorized across lanes l and all windows) yields per-lane
+    #   A_l = sum_r S'_{r,l}            (plain lane sums)
+    #   tot_l = sum_r (r+1) * S'_{r,l}  (row-weighted lane sums)
+    # and the identity  T = CL2*(sum_l tot_l - sum_l A_l)
+    #                       + sum_l SufIncl(A)_l
+    # (SufIncl_l = sum_{l'>=l} A_l', so sum_l SufIncl_l = sum_l (l+1) A_l)
+    # turns the old 2*2^c-step sequential tail into R2 + O(log CL2) wide
+    # point ops — which is what makes window_bits=13 affordable.
+    CL2 = min(512, 1 << (max(nbuckets - 1, 1)).bit_length())
+    R2 = -(-nbuckets // CL2)
+    pad = R2 * CL2 - nbuckets
+    S = tuple(
+        jnp.pad(t, ((0, 0), (0, 0), (0, pad))).reshape(Wtot, N_LIMBS, R2, CL2)
+        for t in (bX, bY, bZ)
     )
-    identW = dc.identity((Wtot,))  # [16, Wtot]
+    # scan rows descending: xs arranged [R2, Wtot, 16, CL2]
+    S_rows = tuple(t.transpose(2, 0, 1, 3)[::-1] for t in S)
+    ident2 = dc.identity((Wtot, CL2))
 
-    def suffix_step(carry, bucket):
-        acc, total = carry
-        bkt = tuple(t.swapaxes(0, 1) for t in bucket)  # [Wtot, 16] -> [16, Wtot]
-        acc = dc._add(acc, bkt)
-        total = dc._add(total, acc)
-        return (acc, total), None
+    def wscan_step(carry, row):
+        acc, tot = carry
+        acc = dc._add(acc, row)
+        tot = dc._add(tot, acc)
+        return (acc, tot), None
 
-    (_, totals), _ = jax.lax.scan(suffix_step, (identW, identW), buckets_rev)
-    # totals: [16, Wtot] -> window w of column c at lane c*W + w
-    tX, tY, tZ = totals
+    (A_l, tot_l), _ = jax.lax.scan(wscan_step, (ident2, ident2), S_rows)
+
+    # inclusive suffix scan of A over lanes (recursive doubling, traced once)
+    lanes2 = jnp.arange(CL2)
+    levels2 = max((CL2 - 1).bit_length(), 1)
+
+    def suf_body(d, Pt):
+        sh = jnp.int32(1) << d
+        alive = lanes2 + sh < CL2
+        Q = tuple(jnp.where(alive, jnp.roll(t, -sh, axis=-1), 0) for t in Pt)
+        return dc._add(Pt, Q)
+
+    suf = jax.lax.fori_loop(0, levels2, suf_body, A_l) if CL2 > 1 else A_l
+
+    TT = dc.tree_reduce(tot_l)  # [Wtot, 16, 1] each
+    TA = dc.tree_reduce(A_l)
+    TS = dc.tree_reduce(suf)
+    negTA = (TA[0], dc.df._neg(TA[1]), TA[2])
+    D = dc._add(TT, negTA)
+    for _ in range(CL2.bit_length() - 1):  # * CL2 (power of two)
+        D = dc._double(D)
+    totals3 = dc._add(D, TS)  # [Wtot, 16, 1]
+    tX, tY, tZ = (t[..., 0].swapaxes(0, 1) for t in totals3)  # [16, Wtot]
 
     # combine windows MSB-first across all C columns at once: lanes [w::W]
     def window_step(res, w):

@@ -259,10 +259,19 @@ class NTT:
 
 
 def new_ntt(df: DeviceField, log_n: int):
-    """NTT factory: MXU digit-matmul transform on TPU (ops/ntt_mxu.py),
-    Stockham radix-2 elsewhere. Both are bit-exact and API-compatible."""
+    """NTT factory: four-step VMEM-kernel transform for large TPU domains
+    (ops/ntt4.py), MXU digit-matmul for small TPU domains (ops/ntt_mxu.py),
+    Stockham radix-2 elsewhere. All are bit-exact and API-compatible."""
     import os
 
+    if (
+        _use_pallas()
+        and log_n >= 12
+        and os.environ.get("HALO2_NO_FOURSTEP_NTT") != "1"
+    ):
+        from .ntt4 import FourStepNTT
+
+        return FourStepNTT(df, log_n)
     if (
         _use_pallas()
         and log_n >= 6

@@ -626,9 +626,15 @@ def _bucket_scan_kernel(axy_ref, st_ref, out_ref, accx, accy, accz, *, df, disti
         accy[:] = jnp.zeros_like(accy)
         accz[:] = jnp.zeros_like(accz)
 
-    at = axy_ref[:].reshape(w_blk, 2 * N_LIMBS, cl)
-    x2 = at[:, :N_LIMBS, :]
-    y2 = at[:, N_LIMBS:, :]
+    # Sorted bases arrive PACKED, 2x16-bit limbs per u32 lane (row j holds
+    # limbs j and j+8 of each coordinate): halves the HBM gather volume,
+    # which is ~40% of the whole MSM. Unpack = mask/shift + row concat.
+    at = axy_ref[:].reshape(w_blk, N_LIMBS, cl)
+    px = at[:, : N_LIMBS // 2, :]
+    py = at[:, N_LIMBS // 2 :, :]
+    m16 = jnp.uint32(0xFFFF)
+    x2 = jnp.concatenate([px & m16, px >> 16], axis=1)
+    y2 = jnp.concatenate([py & m16, py >> 16], axis=1)
     start = st_ref[:].reshape(w_blk, 1, cl) != 0
     # reset the accumulator at segment starts (identity = all-zero, Z=0)
     X1 = jnp.where(start, jnp.uint32(0), accx[:])
@@ -660,7 +666,7 @@ def _bucket_scan_call(p_int: int, wb: int, R: int, cl: int, distinct: bool, inte
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (w_blk, 1, 2 * N_LIMBS, cl),
+                (w_blk, 1, N_LIMBS, cl),
                 lambda w, r: (w, r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -679,12 +685,13 @@ def _bucket_scan_call(p_int: int, wb: int, R: int, cl: int, distinct: bool, inte
 def bucket_scan(dc, axy_sorted, seg_start, cl: int, distinct: bool, interpret: bool = False):
     """Inclusive segmented mixed-add scan for MSM bucket accumulation.
 
-    axy_sorted: uint32[Wb, R, 32, CL] — bucket-sorted affine points (x over
-    y limb-major rows, Montgomery; (0,0) = dead slot), laid out so sorted
-    position ``lane*R + r`` sits at [w, r, :, lane]. seg_start:
-    int32[Wb, R, CL] nonzero at segment (bucket-run) starts. Returns
-    uint32[Wb, R, 48, CL]: the inclusive scan value (x|y|z limb-major rows)
-    after absorbing each position.
+    axy_sorted: uint32[Wb, R, 16, CL] — bucket-sorted affine points PACKED
+    two 16-bit limbs per u32 (row j = limbs j and j+8; x rows 0-7, y rows
+    8-15; Montgomery; (0,0) = dead slot), laid out so sorted position
+    ``lane*R + r`` sits at [w, r, :, lane]. seg_start: int32[Wb, R, CL]
+    nonzero at segment (bucket-run) starts. Returns uint32[Wb, R, 48, CL]:
+    the inclusive scan value (x|y|z limb-major rows, UNPACKED) after
+    absorbing each position.
     """
     wb, R, _, cl_in = axy_sorted.shape
     assert cl_in == cl

@@ -484,8 +484,11 @@ static PyObject *py_emit_range_check(PyObject *self, PyObject *args) {
     QC *bq = NULL;
     PyObject **limb_longs = NULL;
 
+    /* num_limbs > 64 would overflow the limbs[64] stack buffer below (and
+     * emit garbage witness limbs): such oversized decompositions (tiny
+     * lookup_bits with 200+ bit ranges) take the Python path instead. */
     if (!g_contextcell || !g_assignedvalue || !PyList_Check(blist) ||
-        !PyList_Check(rows) || num_limbs < 2 ||
+        !PyList_Check(rows) || num_limbs < 2 || num_limbs > 64 ||
         PyList_GET_SIZE(blist) < num_limbs || lookup_bits < 1 || lookup_bits > 62)
         goto fallback;
 
