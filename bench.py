@@ -16,7 +16,7 @@ throughputs ride along in `extra` when the time budget allows.
 Fallback: if the full prover path fails, report device NTT throughput so the
 round still produces a benchmark point.
 
-Env knobs: HALO2_BENCH=ecdsa|ntt|msm|inner_product (default ecdsa),
+Env knobs: HALO2_BENCH=ecdsa|ntt|msm|inner_product|mul (default ecdsa),
 HALO2_BENCH_K (default 15), HALO2_BENCH_BUDGET_S, HALO2_BENCH_NO_KERNELS.
 """
 
@@ -112,6 +112,11 @@ def bench_ecdsa(k: int) -> dict:
     pk = keygen(params, builder, circuit)
     pinning = pinning_of(builder)
     t = _mark("keygen", t)
+    if os.environ.get("HALO2_PRECOMPILE") == "1":
+        from halo2_lib_tpu.backend.precompile import warm_prover
+
+        warm_prover(params, pk)
+        t = _mark("precompile warm-up", t)
 
     def e2e() -> tuple[bytes, float, float]:
         """(proof, total seconds, witness-gen seconds)."""
@@ -169,9 +174,9 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     """bn254 G1 MSM throughput (BASELINE.json headline kernel).
 
     Digits are generated on device (uploading 2^20 scalars over a remote
-    tunnel would dwarf the kernel). Bases are 2^16 DISTINCT host-computed
-    points tiled to n, so the bucket gather sees an SRS-like HBM access
-    pattern instead of a repeated 256-point window (see inline comment).
+    tunnel would dwarf the kernel). Bases are n fully DISTINCT device-built
+    curve points, so the bucket gather sees a true SRS-scale HBM access
+    pattern (see inline comment).
     """
     import random
 
@@ -182,29 +187,49 @@ def bench_msm(log_n: int = 20, iters: int = 3) -> dict:
     from halo2_lib_tpu.ops.limbs import DeviceField
     from halo2_lib_tpu.utils.curves import BN254_G1
 
+    from halo2_lib_tpu.ops.ec_device import msm_window_bits
+
     rng = random.Random(12)
     n = 1 << log_n
     dc = DeviceCurve(DeviceField(BN254_G1.base), BN254_G1)
-    # 2^16 distinct points s1[i % 256] + s2[i // 256], built with exact host
-    # adds (untimed setup; device-side construction would add a fresh XLA
-    # compile to the bench, and the MSM executable itself is shape-keyed so
-    # the base CONTENT does not recompile anything). Tiled to n: at least
-    # 2^16 unique gather targets instead of a 256-point window.
+    df = dc.df
+    # n FULLY DISTINCT curve points built ON DEVICE as three-level sums
+    # s1[i % 256] + s2[(i >> 8) % 256] + s3[i >> 16] of host random points
+    # (untimed setup): an SRS-like gather pattern — every bucket gather hits
+    # a distinct HBM address, nothing is tiled or window-repeated.
     s1 = [BN254_G1.random_point(rng) for _ in range(256)]
     s2 = [BN254_G1.random_point(rng) for _ in range(256)]
-    pts = [BN254_G1.add(s1[i % 256], s2[i // 256]) for i in range(min(n, 1 << 16))]
-    P0 = dc.pack_points(pts)
-    reps = max(n // len(pts), 1)
-    P = tuple(jnp.tile(t, (1, reps))[:, :n] for t in P0)
+    s3 = [BN254_G1.random_point(rng) for _ in range(max(n >> 16, 1))]
+    P1, P2, P3 = dc.pack_points(s1), dc.pack_points(s2), dc.pack_points(s3)
+    idx = jnp.arange(n)
+
+    @jax.jit
+    def build_bases(P1, P2, P3):
+        g1 = tuple(jnp.take(t, idx % 256, axis=1) for t in P1)
+        g2 = tuple(jnp.take(t, (idx >> 8) % 256, axis=1) for t in P2)
+        g3 = tuple(jnp.take(t, jnp.minimum(idx >> 16, len(s3) - 1), axis=1) for t in P3)
+        X, Y, Z = dc._add(dc._add(g1, g2), g3)
+        # normalize to the affine lift msm_device expects (Z in {0, R})
+        zinv = df._batch_inv(Z)
+        zi2 = df._mont_mul(zinv, zinv)
+        return (
+            df._mont_mul(X, zi2),
+            df._mont_mul(Y, df._mont_mul(zi2, zinv)),
+            jnp.broadcast_to(df.one_mont(()), Z.shape),
+        )
+
+    P = jax.block_until_ready(build_bases(P1, P2, P3))
+    wb = msm_window_bits(n)
+    W = -(-254 // wb)
     key = jax.random.PRNGKey(7)
     digit_sets = [
-        jax.random.randint(jax.random.fold_in(key, i), (32, n), 0, 256, dtype=jnp.int32)
+        jax.random.randint(jax.random.fold_in(key, i), (W, n), 0, 1 << wb, dtype=jnp.int32)
         for i in range(iters)
     ]
-    _sync(msm_device(dc, P, digit_sets[0], 8))  # compile
+    _sync(msm_device(dc, P, digit_sets[0], wb))  # compile
     t0 = time.time()
     for i in range(iters):
-        _sync(msm_device(dc, P, digit_sets[i], 8))
+        _sync(msm_device(dc, P, digit_sets[i], wb))
     dt = (time.time() - t0) / iters
     return {
         "metric": f"msm_2^{log_n}_throughput",
@@ -270,6 +295,60 @@ def bench_inner_product(k: int = 19, iters: int = 2) -> dict:
     }
 
 
+def bench_mul(k: int = 9, iters: int = 3) -> dict:
+    """Criterion-analog micro-bench: create_proof latency for a circuit of
+    chained muls at k=9 (the reference's halo2-base/benches/mul.rs:21 shape:
+    120 sequential `gate.mul` chains filling the rows)."""
+    import random
+
+    from halo2_lib_tpu.backend.keygen import keygen
+    from halo2_lib_tpu.backend.kzg import gen_srs
+    from halo2_lib_tpu.backend.prover import create_proof
+    from halo2_lib_tpu.backend.verifier import verify_proof
+    from halo2_lib_tpu.core.cells import Existing, Witness
+    from halo2_lib_tpu.gates.circuit import BaseCircuitBuilder, CircuitBuilderStage
+    from halo2_lib_tpu.gates.flex_gate import GateChip
+    from halo2_lib_tpu.utils.fields import FR_BN254
+    from halo2_lib_tpu.utils.pinning import pinning_of
+
+    rng = random.Random(0)
+
+    def witness(builder):
+        gate = GateChip(FR_BN254)
+        ctx = builder.main(0)
+        a = ctx.load_witness(rng.randrange(FR_BN254.p))
+        reps = ((1 << k) - 16) // 4
+        for _ in range(reps):
+            a = gate.mul(ctx, Existing(a), Witness(rng.randrange(FR_BN254.p)))
+        return builder
+
+    builder = witness(BaseCircuitBuilder.from_stage(CircuitBuilderStage.MOCK).use_k(k))
+    builder.calculate_params(minimum_rows=9)
+    p = builder.config_params
+    p.num_advice_per_phase[0] = max(p.num_advice_per_phase[0], 2)
+    params = gen_srs(k)
+    pk = keygen(params, builder)
+    pinning = pinning_of(builder)
+
+    def e2e():
+        pb = pinning.prover_builder()
+        witness(pb)
+        return create_proof(params, pk, pb)
+
+    proof = e2e()  # warmup / compiles
+    assert verify_proof(params, pk.vk, proof)
+    t0 = time.time()
+    for _ in range(iters):
+        proof = e2e()
+    dt = (time.time() - t0) / iters
+    return {
+        "metric": f"mul_prove_k{k}_latency",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }
+
+
 def bench_ntt(log_n: int = 20, iters: int = 5) -> dict:
     # default 2^20: the 2^22 MXU-NTT executable reproducibly crashes the
     # remote TPU compile helper (HTTP 500); 2^20 compiles and runs reliably
@@ -319,6 +398,8 @@ def main():
             result = bench_msm(int(os.environ.get("HALO2_BENCH_MSM_LOGN", "20")))
         elif mode == "inner_product":
             result = bench_inner_product(int(os.environ.get("HALO2_BENCH_IP_K", "19")))
+        elif mode == "mul":
+            result = bench_mul(int(os.environ.get("HALO2_BENCH_MUL_K", "9")))
         else:
             result = bench_ecdsa(k)
             # standing kernel metrics alongside the headline latency

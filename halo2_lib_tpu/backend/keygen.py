@@ -141,14 +141,25 @@ class VerifyingKey:
         h.update(self.to_bytes())
         return h.digest()
 
+    def pinned_debug(self) -> str:
+        """`format!("{:?}", vk.pinned())` — the Rust Debug rendering of the
+        pinned verification key (backend/pinned.py), rebuilt from this vk."""
+        from .pinned import pinned_debug_string
+        from .protocol import quotient_pieces
+
+        omega = FR_BN254.nth_root_of_unity(self.k)
+        j = quotient_pieces(self)
+        extended_k = self.k + max((j - 1).bit_length(), 1)
+        return pinned_debug_string(self, omega, extended_k)
+
     def transcript_repr(self) -> int:
         """The vk as an Fr scalar, absorbed at transcript init — halo2's
-        `VerifyingKey::transcript_repr` mechanism exactly (keygen.rs:
-        blake2b-512 with personalization "Halo2-Verify-Key" over the u64-LE
-        length-prefixed serialized vk, reduced via from_uniform_bytes).
-        halo2 hashes the Rust Debug format of the pinned ConstraintSystem;
-        we hash the canonical vk bytes (PARITY.md documents the divergence)."""
-        s = self.to_bytes()
+        `VerifyingKey::transcript_repr` exactly: blake2b-512 with
+        personalization "Halo2-Verify-Key" over the u64-LE length-prefixed
+        Rust-Debug string of the pinned verification key, reduced via
+        from_uniform_bytes (keygen.rs). The Debug string reconstruction
+        lives in backend/pinned.py; PARITY.md lists its conventions."""
+        s = self.pinned_debug().encode()
         h = hashlib.blake2b(person=b"Halo2-Verify-Key")
         h.update(len(s).to_bytes(8, "little"))
         h.update(s)
@@ -190,8 +201,16 @@ def _col_counts_per_phase(circuit: PhysicalCircuit) -> tuple[list[int], list[int
 
 
 def _perm_columns(circuit: PhysicalCircuit) -> list[ColumnRef]:
+    """Permutation argument columns in halo2's enable_equality call order:
+    constant FIXED columns first (FlexGateConfig::configure creates and
+    equality-enables them before any gate column, flex_gate/mod.rs:124-131),
+    then gate advice per phase, lookup advice, instance, dyn advice. The
+    position in this list fixes each column's delta^i labeling, so matching
+    halo2's order is required for sigma/proof byte parity."""
     cols: list[ColumnRef] = []
     na_p, nl_p = _col_counts_per_phase(circuit)
+    for i in range(circuit.params.num_fixed):
+        cols.append(ColumnRef("fixed", i))
     flat = 0
     for phase, n in enumerate(na_p):
         for _ in range(n):
@@ -202,8 +221,6 @@ def _perm_columns(circuit: PhysicalCircuit) -> list[ColumnRef]:
         for _ in range(n):
             cols.append(ColumnRef("lookup", flat, phase))
             flat += 1
-    for i in range(circuit.params.num_fixed):
-        cols.append(ColumnRef("fixed", i))
     for i in range(circuit.params.num_instance_columns):
         cols.append(ColumnRef("instance", i))
     flat = 0
@@ -227,6 +244,9 @@ def _build_permutation(circuit: PhysicalCircuit, n: int, cols: list[ColumnRef]):
     na_p, nl_p = _col_counts_per_phase(circuit)
     col_pos: dict = {}
     pos = 0
+    for i in range(circuit.params.num_fixed):
+        col_pos[("fixed", 0, i)] = pos
+        pos += 1
     for phase, cnt in enumerate(na_p):
         for c in range(cnt):
             col_pos[("advice", phase, c)] = pos
@@ -235,9 +255,6 @@ def _build_permutation(circuit: PhysicalCircuit, n: int, cols: list[ColumnRef]):
         for c in range(cnt):
             col_pos[("lookup", phase, c)] = pos
             pos += 1
-    for i in range(circuit.params.num_fixed):
-        col_pos[("fixed", 0, i)] = pos
-        pos += 1
     for i in range(circuit.params.num_instance_columns):
         col_pos[("instance", 0, i)] = pos
         pos += 1

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ec_device import MSM_WINDOW_BITS, DeviceCurve, msm_device, msm_many_device
+from ..ops.ec_device import DeviceCurve, msm_device, msm_many_device, msm_window_bits
 from ..ops.limbs import N_LIMBS, DeviceField
 from ..utils.curves import BN254_G1, BN254_G2, FQ2_BN254, BN254_G2_B
 from ..utils.fields import FQ_BN254, FR_BN254
@@ -377,7 +377,10 @@ class ParamsKZG:
 
         if jax.default_backend() == "cpu":
             return True
-        return ncols * m <= int(os.environ.get("HALO2_HOST_MSM_FETCH_MAX", "65536"))
+        # Since the window-13 rework the device MSM beats fetch+native even
+        # for single 2^15 columns (a 2 MB fetch costs ~70 ms at tunnel
+        # bandwidth vs ~30 ms device); device-born columns stay on device.
+        return ncols * m <= int(os.environ.get("HALO2_HOST_MSM_FETCH_MAX", "0"))
 
     def host_ints_commit_wanted(self, m: int) -> bool:
         """Host-resident int columns: no fetch needed, so the native path is
@@ -528,7 +531,7 @@ class ParamsKZG:
             self._commit_jits[key] = fn
         return fn
 
-    def commit_columns(self, fr_df, vals_mont, bases, window_bits: int = MSM_WINDOW_BITS):
+    def commit_columns(self, fr_df, vals_mont, bases, window_bits: int | None = None):
         """[C, 16, m] Montgomery columns -> packed uint32[C, 33] canonical
         affine commitments (x limbs | y limbs | inf flag) over C.
 
@@ -547,6 +550,7 @@ class ParamsKZG:
         if C == 0:
             return jnp.zeros((0, 33), jnp.uint32)
         m = vals_mont.shape[2]
+        window_bits = window_bits or msm_window_bits(m)
         lagrange = bases is self._lag_affine
         if (lagrange or bases is self._packed_affine) and self._host_msm_wanted(m, C):
             return self._commit_host_tensor(fr_df, vals_mont, lagrange)
@@ -555,7 +559,7 @@ class ParamsKZG:
             vals_mont, COMMIT_CHUNK, lambda b: (lambda v: fn(v, bases[0], bases[1]))
         )
 
-    def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int = MSM_WINDOW_BITS, bases=None):
+    def commit_many_inside(self, fr_df, vals_mont, lagrange: bool, window_bits: int | None = None, bases=None):
         """Traceable batched commitment: [C, 16, m] Montgomery column values
         (evaluation form if `lagrange`, else coefficients) -> [C] Jacobian
         points ([16, C] coords). Safe to call inside a larger jit (no host
@@ -565,6 +569,7 @@ class ParamsKZG:
         fetching them here would bake them into the caller's executable as
         compile-time constants."""
         C, _, m = vals_mont.shape
+        window_bits = window_bits or msm_window_bits(self.n)
         digits = window_digits(fr_df, vals_mont, window_bits)  # [C, W, m]
         if m < self.n:
             digits = jnp.pad(digits, ((0, 0), (0, 0), (0, self.n - m)))
@@ -573,9 +578,10 @@ class ParamsKZG:
         )
         return msm_many_device(self.device_curve(), A, digits, window_bits, True)
 
-    def commit(self, coeffs: list[int], window_bits: int = MSM_WINDOW_BITS):
+    def commit(self, coeffs: list[int], window_bits: int | None = None):
         """Commit to a polynomial in coefficient form: MSM(g, coeffs) -> affine point."""
         assert len(coeffs) <= self.n
+        window_bits = window_bits or msm_window_bits(self.n)
         dc = self.device_curve()
         P = self.packed_bases()
         if len(coeffs) < self.n:
@@ -584,9 +590,10 @@ class ParamsKZG:
         out = msm_device(dc, P, digits, window_bits)
         return dc.unpack_points(out)[0]
 
-    def commit_lagrange(self, evals: list[int], window_bits: int = MSM_WINDOW_BITS):
+    def commit_lagrange(self, evals: list[int], window_bits: int | None = None):
         """Commit to a polynomial given by its evaluations on H (no IFFT)."""
         assert len(evals) <= self.n
+        window_bits = window_bits or msm_window_bits(self.n)
         dc = self.device_curve()
         P = dc.pack_points(self.g_lagrange)
         if len(evals) < self.n:
@@ -595,7 +602,7 @@ class ParamsKZG:
         out = msm_device(dc, P, digits, window_bits)
         return dc.unpack_points(out)[0]
 
-    def commit_dev(self, coeffs_dev, fr_df, window_bits: int = MSM_WINDOW_BITS):
+    def commit_dev(self, coeffs_dev, fr_df, window_bits: int | None = None):
         """Commit from a device Montgomery coeff tensor [16, m], m <= n."""
         out = self.commit_many_inside(fr_df, coeffs_dev[None], False, window_bits)
         dc = self.device_curve()

@@ -704,13 +704,15 @@ def create_proof(
     tix = rt._tbl_index
 
     def _perm_value_stack(T, adv_lag, lk_lag, dyn_lag, inst_lag):
+        # column order MUST match keygen._perm_columns (halo2's
+        # enable_equality order: fixed, advice, lookup, instance, dyn)
         parts = []
+        if vk.num_fixed:
+            parts.append(jnp.stack([T["lag"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
         if na:
             parts.append(adv_lag)
         if nl:
             parts.append(lk_lag)
-        if vk.num_fixed:
-            parts.append(jnp.stack([T["lag"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
         if vk.num_instance:
             parts.append(inst_lag)
         if nd:
@@ -884,13 +886,14 @@ def create_proof(
                 zprev_rot = rot(permz_e[j - 1], u)
                 exprs.append(df._mont_mul(T["l0_e"], df._sub(permz_e[j], zprev_rot)))
 
+            # same order as _perm_value_stack / keygen._perm_columns
             parts = []
+            if vk.num_fixed:
+                parts.append(jnp.stack([T["ext"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
             if na:
                 parts.append(adv_e)
             if nl:
                 parts.append(lk_e)
-            if vk.num_fixed:
-                parts.append(jnp.stack([T["ext"][tix[f"fix{i}"]] for i in range(vk.num_fixed)]))
             if vk.num_instance:
                 parts.append(inst_e)
             if nd:

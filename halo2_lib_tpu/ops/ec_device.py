@@ -373,15 +373,18 @@ class DeviceCurve:
         return msm_device(self, P, digits, window_bits)
 
 
-def _seg_scan(dc: DeviceCurve, X, Y, Z, flag):
+def _seg_scan(dc: DeviceCurve, X, Y, Z, flag, width: int | None = None):
     """Inclusive segmented EC-sum scan along the LANE axis.
 
     X/Y/Z: [..., 16, L]; `flag` [..., L] marks segment starts; elements never
     absorb sums across a start. Hillis-Steele under a fori_loop so the EC-add
-    graph is traced ONCE."""
+    graph is traced ONCE. With `width`, every width-lane block is an
+    independent scan (merged-lane layout: no per-block pad to the pallas
+    512-lane floor)."""
     L = X.shape[-1]
-    idx = jnp.arange(L)
-    levels = (L - 1).bit_length()
+    w = width or L
+    idx = jnp.arange(L) % w
+    levels = (w - 1).bit_length()
 
     def body(d, state):
         x, y, z, f = state
@@ -407,15 +410,54 @@ def _seg_scan(dc: DeviceCurve, X, Y, Z, flag):
 # bucket-accumulation scan (gathered packed bases 64 B + scan outputs 192 B
 # per slot => 2^22 slots ~ 1.1 GB peak).
 _MSM_GROUP_SLOTS = 1 << 22
-# Lanes of the bucket-accumulation scan: each scan step performs one
-# [windows x lanes]-wide mixed add; R = n / lanes sequential steps.
-_MSM_SCAN_LANES = 1024
-# Default Pippenger window width. 13 bits => 20 windows for 254-bit scalars
-# (vs 32 at c=8): 37% fewer mixed adds AND 37% less sorted-point gather —
-# the two dominant MSM costs. The 8191-bucket weighted reduction runs as a
-# blocked (acc, total) scan (see _bucket_weighted_total), so bucket count
-# no longer forces a 2^c-step sequential tail.
+# Kept as the bench/back-compat default; real callers should size the window
+# by n via msm_window_bits.
 MSM_WINDOW_BITS = 13
+
+
+def msm_window_bits(n: int) -> int:
+    """Pippenger window width c balancing mixed-add work (W(c) * n * 11
+    muls, W = ceil(254/c)) against the 2^c-slot bucket reduction (~55 muls
+    per slot across the weighted scan): wide windows only pay off once
+    n >> 2^c."""
+    if n >= 1 << 18:
+        return 13
+    if n >= 1 << 16:
+        return 12
+    if n >= 1 << 13:
+        return 10
+    return 8
+
+
+def _scan_lanes(n: int) -> int:
+    """Lanes of the bucket-accumulation scan: each of the R = n/CL steps is
+    one [windows x CL] mixed add. Wider lanes amortize grid overhead but the
+    lane-boundary carry fix costs ~log(CL)*CL complete adds per window, so
+    CL shrinks with n."""
+    if n >= 1 << 18:
+        return 1024
+    if n >= 1 << 14:
+        return 256
+    return 128
+
+
+def _suffix_local(dc: DeviceCurve, Pt, CL2: int):
+    """Within-window inclusive SUFFIX sums on merged lanes.
+
+    Pt: (X, Y, Z) [..., 16, M] with M = k * CL2 — every CL2-lane block is an
+    independent window; lane l absorbs lanes l..CL2-1 of its own block.
+    Masked recursive doubling: log2(CL2) complete adds, full lane
+    utilization (no per-window pad to the pallas 512-lane floor)."""
+    M = Pt[0].shape[-1]
+    l_loc = jnp.arange(M) % CL2
+
+    def body(d, P):
+        sh = jnp.int32(1) << d
+        ok = l_loc + sh < CL2
+        Q = tuple(jnp.where(ok, jnp.roll(t, -sh, axis=-1), 0) for t in P)
+        return dc._add(P, Q)
+
+    return jax.lax.fori_loop(0, max(CL2.bit_length() - 1, 1), body, Pt)
 
 
 def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: bool):
@@ -434,7 +476,7 @@ def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: b
     """
     Ax, Ay = A
     Wb, n = d_sorted.shape
-    CL = _MSM_SCAN_LANES
+    CL = _scan_lanes(n)
     while n % CL:
         CL //= 2
     R = n // CL
@@ -495,9 +537,13 @@ def _bucket_sums(dc: DeviceCurve, A, order, d_sorted, nbuckets: int, distinct: b
         lastv = tuple(t[-1] for t in stacked)  # [Wb, 16, CL] x3
 
     # lane-boundary carries: inclusive segmented scan (across lanes) of each
-    # lane's trailing-run sum, shifted right by one lane
+    # lane's trailing-run sum, shifted right by one lane. Lanes of all Wb
+    # windows merge into one axis (width=CL blocks) so narrow CL never pays
+    # the pallas 512-lane pad.
     has_start = jnp.any(seg_start.reshape(Wb, CL, R), axis=2)  # [Wb, CL]
-    cx, cy, cz = _seg_scan(dc, *lastv, has_start)
+    lastm = tuple(t.transpose(1, 0, 2).reshape(N_LIMBS, Wb * CL) for t in lastv)
+    cm = _seg_scan(dc, *lastm, has_start.reshape(Wb * CL), width=CL)
+    cx, cy, cz = (t.reshape(N_LIMBS, Wb, CL).transpose(1, 0, 2) for t in cm)
     zero = jnp.zeros((Wb, N_LIMBS, 1), dtype=cx.dtype)
     cx, cy, cz = (jnp.concatenate([zero, t[..., :-1]], axis=-1) for t in (cx, cy, cz))
 
@@ -576,26 +622,32 @@ def _msm_from_digits(dc: DeviceCurve, A, digits: jax.Array, window_bits: int, di
         )
         bX, bY, bZ = (t.reshape(Wtot, N_LIMBS, nbuckets) for t in gb)
 
-    # weighted bucket reduction T_w = sum_b b * S_b, BLOCKED: slot b-1 =
-    # r*CL2 + l. A descending (acc, total) scan over the R2 slot-rows
-    # (vectorized across lanes l and all windows) yields per-lane
+    # weighted bucket reduction T_w = sum_b b * S_b, BLOCKED on MERGED
+    # lanes: slot b-1 = r*CL2 + l, all windows' CL2-lane blocks side by side
+    # in one [16, Wtot*CL2] axis (full lane utilization — per-window shapes
+    # would pad every op to the pallas 512-lane floor). A descending
+    # (acc, total) scan over the R2 slot-rows yields per-lane
     #   A_l = sum_r S'_{r,l}            (plain lane sums)
     #   tot_l = sum_r (r+1) * S'_{r,l}  (row-weighted lane sums)
-    # and the identity  T = CL2*(sum_l tot_l - sum_l A_l)
-    #                       + sum_l SufIncl(A)_l
-    # (SufIncl_l = sum_{l'>=l} A_l', so sum_l SufIncl_l = sum_l (l+1) A_l)
-    # turns the old 2*2^c-step sequential tail into R2 + O(log CL2) wide
-    # point ops — which is what makes window_bits=13 affordable.
-    CL2 = min(512, 1 << (max(nbuckets - 1, 1)).bit_length())
+    # and with the within-window suffix scan (_suffix_local):
+    #   T = CL2*(TT - TA) + TS
+    # where TA = suf(A)[0], TS = suf(suf(A))[0], TT = suf(tot)[0] — one
+    # suffix pass doubles as the lane reduction (its lane-0 value). This
+    # replaces the old 2*2^c-step sequential tail with 2*R2 + ~3 log2(CL2)
+    # wide point ops, making wide windows affordable.
+    CL2 = min(64, 1 << (max(nbuckets - 1, 1)).bit_length())
     R2 = -(-nbuckets // CL2)
     pad = R2 * CL2 - nbuckets
+    M = Wtot * CL2
     S = tuple(
         jnp.pad(t, ((0, 0), (0, 0), (0, pad))).reshape(Wtot, N_LIMBS, R2, CL2)
         for t in (bX, bY, bZ)
     )
-    # scan rows descending: xs arranged [R2, Wtot, 16, CL2]
-    S_rows = tuple(t.transpose(2, 0, 1, 3)[::-1] for t in S)
-    ident2 = dc.identity((Wtot, CL2))
+    # merged rows: xs[r] = [16, Wtot*CL2], lane = w*CL2 + l; rows descending
+    S_rows = tuple(
+        t.transpose(2, 1, 0, 3).reshape(R2, N_LIMBS, M)[::-1] for t in S
+    )
+    ident2 = dc.identity((M,))
 
     def wscan_step(carry, row):
         acc, tot = carry
@@ -605,27 +657,21 @@ def _msm_from_digits(dc: DeviceCurve, A, digits: jax.Array, window_bits: int, di
 
     (A_l, tot_l), _ = jax.lax.scan(wscan_step, (ident2, ident2), S_rows)
 
-    # inclusive suffix scan of A over lanes (recursive doubling, traced once)
-    lanes2 = jnp.arange(CL2)
-    levels2 = max((CL2 - 1).bit_length(), 1)
-
-    def suf_body(d, Pt):
-        sh = jnp.int32(1) << d
-        alive = lanes2 + sh < CL2
-        Q = tuple(jnp.where(alive, jnp.roll(t, -sh, axis=-1), 0) for t in Pt)
-        return dc._add(Pt, Q)
-
-    suf = jax.lax.fori_loop(0, levels2, suf_body, A_l) if CL2 > 1 else A_l
-
-    TT = dc.tree_reduce(tot_l)  # [Wtot, 16, 1] each
-    TA = dc.tree_reduce(A_l)
-    TS = dc.tree_reduce(suf)
+    # one batched suffix pass over (A | tot), then a second over suf(A)
+    both = tuple(jnp.concatenate([a, t], axis=-1) for a, t in zip(A_l, tot_l))
+    suf1 = _suffix_local(dc, both, CL2)
+    sufA = tuple(t[..., :M] for t in suf1)
+    sufT = tuple(t[..., M:] for t in suf1)
+    suf2 = _suffix_local(dc, sufA, CL2)
+    TA = tuple(t[..., 0::CL2] for t in sufA)  # [16, Wtot]
+    TT = tuple(t[..., 0::CL2] for t in sufT)
+    TS = tuple(t[..., 0::CL2] for t in suf2)
     negTA = (TA[0], dc.df._neg(TA[1]), TA[2])
     D = dc._add(TT, negTA)
     for _ in range(CL2.bit_length() - 1):  # * CL2 (power of two)
         D = dc._double(D)
-    totals3 = dc._add(D, TS)  # [Wtot, 16, 1]
-    tX, tY, tZ = (t[..., 0].swapaxes(0, 1) for t in totals3)  # [16, Wtot]
+    totals3 = dc._add(D, TS)  # [16, Wtot]
+    tX, tY, tZ = totals3
 
     # combine windows MSB-first across all C columns at once: lanes [w::W]
     def window_step(res, w):

@@ -449,6 +449,10 @@ class DeviceField:
 
     def _inv(self, a: jax.Array) -> jax.Array:
         """Fermat inverse a^(p-2); zero input yields zero output."""
+        if _use_pallas():
+            from . import pallas_field
+
+            return pallas_field.fermat_inv(self, a)
         bits = jnp.asarray([b == "1" for b in bin(self.p_int - 2)[2:]], dtype=bool)
         return self._pow_impl(a, bits)
 

@@ -103,6 +103,8 @@ class NTT:
     leading batch dims are transformed independently in the same dispatch.
     """
 
+    CHUNK = NTT_CHUNK
+
     def __init__(self, df: DeviceField, log_n: int):
         field = df.field
         assert log_n <= field.s, f"field 2-adicity {field.s} < log_n {log_n}"
@@ -252,10 +254,10 @@ class NTT:
 
     def forward_cols(self, x: jax.Array) -> jax.Array:
         """[C, 16, n] -> [C, 16, n], host-chunked (call OUTSIDE jit)."""
-        return dispatch_cols(x, NTT_CHUNK, lambda b: self._chunk_jit(True, b))
+        return dispatch_cols(x, self.CHUNK, lambda b: self._chunk_jit(True, b))
 
     def inverse_cols(self, x: jax.Array) -> jax.Array:
-        return dispatch_cols(x, NTT_CHUNK, lambda b: self._chunk_jit(False, b))
+        return dispatch_cols(x, self.CHUNK, lambda b: self._chunk_jit(False, b))
 
 
 def new_ntt(df: DeviceField, log_n: int):

@@ -131,6 +131,11 @@ class FourStepNTT(NTT):
         self._interpret = interpret
         self._tables: dict = {}
         super().__init__(df, log_n)
+        # huge domains dispatch column-by-column: the fixed 8-column chunk
+        # would zero-pad a single 2^20 transform 8x (measured 482 ms vs the
+        # ~60 ms compute)
+        if log_n >= 18:
+            self.CHUNK = 1
         self.factors = _plan(self.n) if self.n >= MIN_FOURSTEP else None
         if self.factors is not None:
             self._build_tables()

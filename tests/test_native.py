@@ -152,3 +152,32 @@ def test_emitters_match_pure_python(wg):
 
         for l, r in cmn.advice_equalities:
             assert type(l) is ContextCell and type(r) is ContextCell
+
+
+def test_native_msm_commit_matches_host():
+    """The threaded C Pippenger (11-bit windows, tail-safe digit
+    extraction) against the exact host MSM, including an identity column."""
+    import random
+
+    import numpy as np
+
+    from halo2_lib_tpu.backend.kzg import ParamsKZG
+    from halo2_lib_tpu.utils.curves import BN254_G1
+
+    params = ParamsKZG.setup(6, seed=7)
+    if params._native_msm() is None:
+        import pytest
+
+        pytest.skip("native module unavailable")
+    rng = random.Random(5)
+    cols = [[rng.randrange(BN254_G1.scalar.p) for _ in range(64)] for _ in range(3)]
+    cols.append([0] * 64)  # identity commitment
+    out = params.commit_host_ints(cols, True)
+    for ci, col in enumerate(cols):
+        want = BN254_G1.msm(params.g_lagrange[:64], col)
+        row = out[ci]
+        got = None if row[32] else (
+            sum(int(row[j]) << (16 * j) for j in range(16)),
+            sum(int(row[16 + j]) << (16 * j) for j in range(16)),
+        )
+        assert got == want

@@ -83,3 +83,26 @@ def test_off_block_size_falls_back(dc):
     assert jnp.array_equal(
         pf.mont_mul(df, a, b, interpret=True), df._mont_mul_xla(a, b)
     )
+
+
+def test_fermat_inv_interpret():
+    """In-kernel unrolled a^(p-2) (pallas_field.fermat_inv) vs host pow.
+
+    Uses a small prime so interpret mode stays fast (the 254-bit chain is
+    ~330 interpreted Montgomery multiplies — minutes); the full-width chain
+    runs through the same windowed-constant code path."""
+    import random
+
+    from halo2_lib_tpu.ops import pallas_field
+    from halo2_lib_tpu.ops.limbs import DeviceField
+    from halo2_lib_tpu.utils.fields import PrimeField
+
+    p = 65537
+    df = DeviceField(PrimeField(p, "f65537"))
+    rng = random.Random(9)
+    vals = [rng.randrange(1, p) for _ in range(3)] + [0, 1, p - 1]
+    a = df.pack(vals)
+    out = pallas_field.fermat_inv(df, a, interpret=True)
+    got = df.unpack(out)
+    want = [pow(v, p - 2, p) if v else 0 for v in vals]
+    assert got == want
