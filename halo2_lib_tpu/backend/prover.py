@@ -345,6 +345,20 @@ def _tree_prod(df, stack):
     return s[0]
 
 
+def _flatten_lookup_cols(builder, t: int, nlookup: int) -> list[list[int]]:
+    """Only the lookup-advice columns of phase t (the gate-advice columns
+    were already flattened elsewhere, e.g. by the phase-0 pipeline)."""
+    lm = builder.lookup_manager[t]
+    lk: list[list[int]] = [[] for _ in range(nlookup)]
+    if lm.total_rows() > 0 and nlookup > 0:
+        from ..core.cells import assigned_to_int
+
+        for i, cell_tuple in enumerate(lm.iter_rows()):
+            lk[i % nlookup].append(assigned_to_int(cell_tuple[0].value, builder.field))
+        lm.assigned = True
+    return lk
+
+
 def _flatten_prover_phase(builder, t: int, ncols: int, nlookup: int, usable_rows: int):
     """Flatten phase t of a builder for PROVING (no copy constraints needed).
 
@@ -360,15 +374,7 @@ def _flatten_prover_phase(builder, t: int, ncols: int, nlookup: int, usable_rows
     else:
         fp = pm.flatten_with_constraints(ncols, usable_rows)
     adv = [fp.columns[i] if i < len(fp.columns) else [] for i in range(ncols)]
-    lm = builder.lookup_manager[t]
-    lk: list[list[int]] = [[] for _ in range(nlookup)]
-    if lm.total_rows() > 0 and nlookup > 0:
-        from ..core.cells import assigned_to_int
-
-        for i, cell_tuple in enumerate(lm.iter_rows()):
-            lk[i % nlookup].append(assigned_to_int(cell_tuple[0].value, builder.field))
-        lm.assigned = True
-    return adv, lk
+    return adv, _flatten_lookup_cols(builder, t, nlookup)
 
 
 def _selfcheck_h(
@@ -458,6 +464,7 @@ def create_proof(
     seed: int = 0,
     phase_fns: dict | None = None,
     mesh=None,
+    phase0=None,
 ) -> bytes:
     """Generate a proof.
 
@@ -477,9 +484,9 @@ def create_proof(
     _t = _time.time()
 
     builder = None
-    if phase_fns:
+    if phase_fns or phase0 is not None:
         assert isinstance(builder_or_circuit, BaseCircuitBuilder), (
-            "phase_fns requires a builder (later phases are generated on the fly)"
+            "phase_fns/phase0 require a builder"
         )
         builder = builder_or_circuit
         circuit = None
@@ -589,22 +596,48 @@ def create_proof(
     for t in range(nphases):
         if t > 0 and phase_fns and phase_fns.get(t) is not None:
             phase_fns[t](builder, list(challenges))
-        adv_t, lk_t = _phase_cols(t)
-        adv_t = [_blind(col, n, rng) for col in adv_t]
-        lk_t = [_blind(col, n, rng) for col in lk_t]
-        advice_vals.extend(adv_t)
-        lookup_vals.extend(lk_t)
-        ncommit = len(adv_t) + len(lk_t)
-        cols = adv_t + lk_t + (instance_vals if t == 0 else [])
-        cols_u16 = _shard(jnp.asarray(_u16_cols(cols, n)))
-
-        # device upload + to_mont dispatches ASYNC; the native threaded
-        # Pippenger commits the same host ints concurrently (kzg.py)
-        lag_t = _lag_from_u16(df, cols_u16)
-        if params.host_ints_commit_wanted(n):
-            com1 = params.commit_host_ints(cols[:ncommit], True)
+        if t == 0 and phase0 is not None:
+            # phase-0 advice was flattened/blinded/uploaded/committed DURING
+            # witness generation (backend/pipeline.py). Skip the advice
+            # blinding draws so the rng stream stays byte-identical, then
+            # handle only the lookup-advice + instance columns here.
+            assert mesh is None and circuit is None
+            adv_t = phase0.advice_cols
+            for _ in range(len(adv_t) * BLINDING_FACTORS):
+                rng.randrange(P)
+            lk_t = _flatten_lookup_cols(builder, 0, nl_p[0] if nl_p else 0)
+            lk_t = [_blind(col, n, rng) for col in lk_t]
+            advice_vals.extend(adv_t)
+            lookup_vals.extend(lk_t)
+            ncommit = len(adv_t) + len(lk_t)
+            rest = lk_t + instance_vals
+            parts = list(phase0.u16_parts)
+            if rest:
+                parts.append(jnp.asarray(_u16_cols(rest, n)))
+            cols_u16 = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            lag_t = _lag_from_u16(df, cols_u16)
+            com_rows = list(phase0.commit_rows)
+            if lk_t:
+                lkc = params.commit_host_ints(lk_t, True)
+                com_rows.extend(lkc)
+            com1 = np.stack(com_rows)
         else:
-            com1 = params.commit_columns(df, lag_t[:ncommit], T["lagA"])
+            adv_t, lk_t = _phase_cols(t)
+            adv_t = [_blind(col, n, rng) for col in adv_t]
+            lk_t = [_blind(col, n, rng) for col in lk_t]
+            advice_vals.extend(adv_t)
+            lookup_vals.extend(lk_t)
+            ncommit = len(adv_t) + len(lk_t)
+            cols = adv_t + lk_t + (instance_vals if t == 0 else [])
+            cols_u16 = _shard(jnp.asarray(_u16_cols(cols, n)))
+
+            # device upload + to_mont dispatches ASYNC; the native threaded
+            # Pippenger commits the same host ints concurrently (kzg.py)
+            lag_t = _lag_from_u16(df, cols_u16)
+            if params.host_ints_commit_wanted(n):
+                com1 = params.commit_host_ints(cols[:ncommit], True)
+            else:
+                com1 = params.commit_columns(df, lag_t[:ncommit], T["lagA"])
         for pt in _host_points(dc, com1):
             tr.write_point(pt)
         if t == 0:

@@ -8,6 +8,7 @@ the process-spanning branch builds the documented [hosts, local] grid shape
 jax.distributed.initialize call needs real peers)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -16,6 +17,16 @@ from halo2_lib_tpu.parallel.distributed import (
     init_distributed,
     make_global_mesh,
 )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """Serializing multi-device shard_map executables into the persistent
+    compile cache segfaults XLA:CPU (see tests/test_sharded.py)."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
 
 
 def test_init_noop_without_env(monkeypatch):
