@@ -80,8 +80,42 @@ def _blind(col: list[int], n: int, rng) -> list[int]:
     return out
 
 
+def _permute_pair_np(a_vals, s_vals, u: int, n: int, rng):
+    """Vectorized permute_expression_pair for u64-range values (the common
+    range-lookup case: everything < 2^lookup_bits). Byte-identical output to
+    the exact-int path below, including halo2's leftover ordering (each
+    distinct table value's remaining copies in FIRST-OCCURRENCE order)."""
+    a, s = a_vals, s_vals
+    a_sorted = np.sort(a)
+    new_mask = np.ones(u, dtype=bool)
+    new_mask[1:] = a_sorted[1:] != a_sorted[:-1]
+    a_uniq = a_sorted[new_mask]
+    # table multiset in first-occurrence order
+    vals, first_idx, counts = np.unique(s, return_index=True, return_counts=True)
+    order = np.argsort(first_idx, kind="stable")
+    vals, counts = vals[order], counts[order]
+    consumed = np.isin(vals, a_uniq)
+    # every distinct input value must exist in the table
+    if not np.isin(a_uniq, vals).all():
+        missing = a_uniq[~np.isin(a_uniq, vals)][0]
+        raise ValueError(f"lookup failure: value {missing} not in table")
+    leftovers = np.repeat(vals, counts - consumed.astype(np.int64))
+    s_out = np.where(new_mask, a_sorted, 0)
+    s_out[~new_mask] = leftovers[: (~new_mask).sum()]
+    a_p = _blind([int(v) for v in a_sorted], n, rng)
+    s_p = _blind([int(v) for v in s_out], n, rng)
+    return a_p, s_p
+
+
 def _permute_pair(a_vals: list[int], s_vals: list[int], u: int, n: int, rng):
     """halo2 permute_expression_pair: sort input; align table (lookup/prover.rs)."""
+    try:
+        a64 = np.asarray(a_vals[:u], dtype=np.int64)
+        s64 = np.asarray(s_vals[:u], dtype=np.int64)
+    except OverflowError:
+        a64 = s64 = None  # full-width values: exact-int path below
+    if a64 is not None and len(a64) == u and (a64 >= 0).all() and (s64 >= 0).all():
+        return _permute_pair_np(a64, s64, u, n, rng)
     a_sorted = sorted(a_vals[:u])
     s_multiset: dict[int, int] = {}
     for v in s_vals[:u]:
